@@ -1,0 +1,290 @@
+"""Beam search / greedy / sampling decode as a single jitted loop.
+
+Replaces the reference's patched HF generate + BeamSearchScorer
+(model/patches/patch_hf.py): the loop is a ``lax.while_loop`` with a static
+step bound (max_new_tokens = 10*m, ref: agents/infinisst.py:125-128), beam
+KV reordering is a gather over a small per-beam generation buffer (the chunk
+prefix cache is shared across beams — see llama.beam_token_step), and the
+"continue from the winning beam's KV" semantic (patch_hf.py:924-935) is
+realised by replaying the winning tokens into the persistent cache
+(speech_llm.commit_tokens) instead of snapshotting per-hypothesis caches.
+
+HF semantics replicated:
+- processors run on log-softmax scores in HF order (repetition penalty,
+  no-repeat-ngram, encoder-no-repeat-ngram, suppress);
+- beam selection takes top 2*beam candidates so EOS hypotheses do not
+  consume live beam slots (BeamSearchScorer.process, patch_hf.py:43-157);
+- finished hypotheses are scored sum_logprobs / length**length_penalty
+  (BeamHypotheses.add);
+- early termination when the worst finished hypothesis cannot be improved.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from infinisst_tpu.core.config import LlamaConfig
+from infinisst_tpu.decode import logits as lp
+from infinisst_tpu.models import llama as llama_mod
+from infinisst_tpu.streaming.state import DecoderState
+
+NEG_INF = -1e9
+
+
+class BeamSpec(NamedTuple):
+    beam: int
+    max_new_tokens: int
+    eos_id: int
+    pad_id: int
+    no_repeat_ngram_size: int = 0
+    repetition_penalty: float = 1.0
+    length_penalty: float = 1.0
+    vocab_size: int = 0
+
+
+class BeamResult(NamedTuple):
+    tokens: jnp.ndarray  # (max_new,) winning generated tokens (pad-filled)
+    n_tokens: jnp.ndarray  # scalar int32: generated length (EOS excluded)
+    score: jnp.ndarray  # scalar f32
+    steps: jnp.ndarray  # scalar int32: loop steps executed
+    hit_eos: jnp.ndarray  # scalar bool: winner ended with EOS
+
+
+def beam_search(
+    params,
+    cfg: LlamaConfig,
+    prefix: DecoderState,  # batch 1 — cache after chunk prefill
+    first_logits: jnp.ndarray,  # (V,) logits at the last prefill position
+    prompt_buf: jnp.ndarray,  # (Tp,) this call's prompt ids (static len)
+    prompt_len: jnp.ndarray,  # scalar int32 <= Tp
+    history: jnp.ndarray,  # (Lh,) cross-chunk target ids (lookback window)
+    history_len: jnp.ndarray,  # scalar int32
+    spec: BeamSpec,
+    encoder_ngram_size: int = 0,
+    suppress_mask: Optional[jnp.ndarray] = None,  # (V,) bool
+) -> BeamResult:
+    """Run beam search for one chunk.  Static shapes throughout."""
+    B = spec.beam
+    G = spec.max_new_tokens
+    V = first_logits.shape[-1]
+    KV, Dh, L = cfg.num_kv_heads, cfg.head_dim, cfg.num_layers
+    Tp = prompt_buf.shape[0]
+    Tbuf = Tp + G  # per-beam sequence buffer (for ngram/repetition)
+
+    # per-beam state
+    seq_buf0 = jnp.tile(
+        jnp.concatenate([prompt_buf, jnp.full((G,), spec.pad_id, prompt_buf.dtype)])[
+            None
+        ],
+        (B, 1),
+    )
+    seq_len0 = jnp.full((B,), 0, jnp.int32) + prompt_len  # valid in seq_buf
+    gen_tokens0 = jnp.full((B, G), spec.pad_id, jnp.int32)
+    beam_scores0 = jnp.full((B,), NEG_INF, jnp.float32).at[0].set(0.0)
+
+    gen_k0 = jnp.zeros((L, B, G, KV, Dh), prefix.k.dtype)
+    gen_v0 = jnp.zeros_like(gen_k0)
+
+    # finished-hypothesis buffer (B slots)
+    fin_tokens0 = jnp.full((B, G), spec.pad_id, jnp.int32)
+    fin_len0 = jnp.zeros((B,), jnp.int32)
+    fin_scores0 = jnp.full((B,), NEG_INF, jnp.float32)
+
+    def process_scores(scores, seq_buf, seq_len, hist, hist_len):
+        scores = lp.repetition_penalty(
+            scores,
+            seq_buf,
+            jnp.arange(Tbuf)[None, :] < seq_len[:, None],
+            spec.repetition_penalty,
+        )
+        scores = lp.no_repeat_ngram(
+            scores, seq_buf, seq_len, spec.no_repeat_ngram_size
+        )
+        if encoder_ngram_size > 0:
+            scores = lp.encoder_no_repeat_ngram(
+                scores,
+                jnp.tile(hist[None], (B, 1)),
+                jnp.tile(hist_len[None], (B,)),
+                seq_buf,
+                seq_len,
+                encoder_ngram_size,
+            )
+        if suppress_mask is not None:
+            scores = lp.suppress_tokens(scores, suppress_mask)
+        return scores
+
+    def select(step_scores, beam_scores):
+        """step_scores: (B, V) processed log-probs.  Returns 2B candidates."""
+        total = step_scores + beam_scores[:, None]  # (B, V)
+        flat = total.reshape(-1)
+        top_vals, top_idx = lax.top_k(flat, 2 * B)
+        cand_beam = top_idx // V
+        cand_tok = top_idx % V
+        return top_vals, cand_beam, cand_tok
+
+    def step_fn(state):
+        (
+            t,
+            done,
+            logits_cur,
+            beam_scores,
+            seq_buf,
+            seq_len,
+            gen_tokens,
+            gen_k,
+            gen_v,
+            fin_tokens,
+            fin_len,
+            fin_scores,
+        ) = state
+
+        scores = jax.nn.log_softmax(logits_cur.astype(jnp.float32), axis=-1)
+        scores = process_scores(scores, seq_buf, seq_len, history, history_len)
+        cand_vals, cand_beam, cand_tok = select(scores, beam_scores)
+
+        is_eos = cand_tok == spec.eos_id
+        # --- finished hypotheses: EOS candidates among the top-B ranks only
+        # (BeamSearchScorer.process semantics: beam_idx < num_beams)
+        rank = jnp.arange(2 * B)
+        eos_ok = is_eos & (rank < B)
+        # candidate hypothesis score (length incl. nothing new; HF divides by
+        # the generated length so far +1? finalize uses cur_len of tokens
+        # excluding eos): sum_logprobs / (gen_len)**penalty with gen_len = t+1
+        # HF BeamHypotheses.add: score = sum_logprobs / len(seq)**penalty,
+        # len(seq) = prompt + generated tokens (eos excluded).
+        hyp_len = (prompt_len + t).astype(jnp.float32)
+        hyp_score = cand_vals / jnp.maximum(hyp_len, 1.0) ** spec.length_penalty
+
+        def add_hyp(i, carry):
+            ft, fl, fs = carry
+            worst = jnp.argmin(fs)
+            better = hyp_score[i] > fs[worst]
+            use = eos_ok[i] & better
+            # hypothesis tokens: the source beam's generated tokens so far
+            toks = gen_tokens[cand_beam[i]]
+            ft = jnp.where(use, ft.at[worst].set(toks), ft)
+            fl = jnp.where(use, fl.at[worst].set(t), fl)
+            fs = jnp.where(use, fs.at[worst].set(hyp_score[i]), fs)
+            return ft, fl, fs
+
+        fin_tokens, fin_len, fin_scores = lax.fori_loop(
+            0, 2 * B, add_hyp, (fin_tokens, fin_len, fin_scores)
+        )
+
+        # --- pick next live beams: first B non-EOS candidates
+        live_rank = jnp.cumsum((~is_eos).astype(jnp.int32)) - 1  # rank among non-eos
+        # for each new beam slot b, find candidate index with live_rank==b & ~eos
+        cand_order = jnp.where(~is_eos, live_rank, 2 * B)
+        slot_to_cand = jnp.argmax(
+            cand_order[None, :] == jnp.arange(B)[:, None], axis=1
+        )  # (B,)
+        new_beam_scores = cand_vals[slot_to_cand]
+        src_beam = cand_beam[slot_to_cand]
+        new_tok = cand_tok[slot_to_cand]
+
+        # reorder per-beam state
+        seq_buf = seq_buf[src_beam]
+        seq_len = seq_len[src_beam]
+        gen_tokens = gen_tokens[src_beam]
+        gen_k = gen_k[:, src_beam]
+        gen_v = gen_v[:, src_beam]
+
+        # append token
+        gen_tokens = gen_tokens.at[:, t].set(new_tok)
+        seq_buf = jax.vmap(lambda b, l, tok: b.at[l].set(tok))(
+            seq_buf, seq_len, new_tok
+        )
+        seq_len = seq_len + 1
+
+        # --- termination checks (before running the next forward)
+        t_next = t + 1
+        worst_fin = jnp.min(fin_scores)
+        n_fin = jnp.sum(fin_scores > NEG_INF / 2)
+        # best possible future score of live beams (length grows; with
+        # length_penalty>=0 use current length like HF early_stopping=False)
+        best_possible = jnp.max(new_beam_scores) / (
+            jnp.maximum(prompt_len + t_next, 1).astype(jnp.float32)
+            ** spec.length_penalty
+        )
+        done_now = (
+            (t_next >= G)
+            | ((n_fin >= B) & (worst_fin >= best_possible))
+        )
+
+        # --- forward the next token for all beams (the final iteration's
+        # forward is unused; one wasted step keeps the loop shape static)
+        x = llama_mod.embed(params, new_tok[:, None])
+        logits_next, gen_k, gen_v = llama_mod.beam_token_step(
+            params, cfg, prefix, gen_k, gen_v, t, x
+        )
+
+        return (
+            t_next,
+            done_now,
+            logits_next,
+            new_beam_scores,
+            seq_buf,
+            seq_len,
+            gen_tokens,
+            gen_k,
+            gen_v,
+            fin_tokens,
+            fin_len,
+            fin_scores,
+        )
+
+    def cond_fn(state):
+        t, done = state[0], state[1]
+        return (~done) & (t < G)
+
+    init = (
+        jnp.array(0, jnp.int32),
+        jnp.array(False),
+        jnp.tile(first_logits[None], (B, 1)),
+        beam_scores0,
+        seq_buf0,
+        seq_len0,
+        gen_tokens0,
+        gen_k0,
+        gen_v0,
+        fin_tokens0,
+        fin_len0,
+        fin_scores0,
+    )
+    final = lax.while_loop(cond_fn, step_fn, init)
+    (
+        t,
+        _done,
+        _logits,
+        beam_scores,
+        _seq_buf,
+        _seq_len,
+        gen_tokens,
+        _gk,
+        _gv,
+        fin_tokens,
+        fin_len,
+        fin_scores,
+    ) = final
+
+    # finalize: if no finished hypothesis, take best live beam (HF finalize
+    # force-adds open hypotheses).
+    live_score = beam_scores / jnp.maximum(prompt_len + t, 1).astype(
+        jnp.float32
+    ) ** spec.length_penalty
+    best_live = jnp.argmax(live_score)
+    have_fin = jnp.sum(fin_scores > NEG_INF / 2) > 0
+    best_fin = jnp.argmax(fin_scores)
+    use_fin = have_fin & (fin_scores[best_fin] >= live_score[best_live])
+
+    tokens = jnp.where(use_fin, fin_tokens[best_fin], gen_tokens[best_live])
+    n_tokens = jnp.where(use_fin, fin_len[best_fin], t)
+    score = jnp.where(use_fin, fin_scores[best_fin], live_score[best_live])
+    return BeamResult(
+        tokens=tokens, n_tokens=n_tokens, score=score, steps=t,
+        hit_eos=use_fin,
+    )

@@ -1,0 +1,404 @@
+"""Llama-3/3.1 decoder with GQA and a streaming unrotated-key KV cache.
+
+TPU-native rebuild of the reference's patched HF Llama
+(model/patches/patch_llm.py): keys are stored *unrotated* in the cache and
+RoPE is applied after retrieval with positions arange(valid_len) relative to
+the current cache (ref: patch_llm.py:53-76).  After chunk-granular eviction
+the positions renumber automatically, which keeps rotary positions bounded
+on unbounded streams.
+
+Differences from the reference implementation strategy (deliberate, per
+SURVEY.md §7):
+- the KV cache is a fixed-capacity left-aligned array updated with
+  ``lax.dynamic_update_slice`` (no torch.cat growth, no recompilation);
+- the layer stack is one ``lax.scan`` over stacked parameters;
+- prefill and single-token decode are the same function, jitted per static
+  query length.
+
+Parameter pytree:
+  embed:    (V, D)  token embedding
+  layers (stacked, leading dim L):
+    input_ln:  (L, D)      rms norm scale
+    post_ln:   (L, D)
+    wq: (L, D, H*Dh)  wk: (L, D, KV*Dh)  wv: (L, D, KV*Dh)  wo: (L, H*Dh, D)
+    w_gate: (L, D, I)  w_up: (L, D, I)  w_down: (L, I, D)
+  final_ln: (D,)
+  lm_head:  (D, V)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from infinisst_tpu.core import masks as M
+from infinisst_tpu.core import rope as R
+from infinisst_tpu.core.config import LlamaConfig
+from infinisst_tpu.streaming.state import DecoderState
+
+Params = Dict[str, Any]
+
+
+def _rms_norm(x, scale, eps):
+    xf = x.astype(jnp.float32)
+    var = (xf * xf).mean(-1, keepdims=True)
+    return (xf * lax.rsqrt(var + eps) * scale.astype(jnp.float32)).astype(
+        x.dtype
+    )
+
+
+def rope_inv_freq(cfg: LlamaConfig) -> jnp.ndarray:
+    return jnp.asarray(
+        R.llama_rope_freqs(
+            cfg.head_dim,
+            cfg.rope_theta,
+            cfg.rope_scaling,
+            cfg.rope_scaling_factor,
+            cfg.rope_low_freq_factor,
+            cfg.rope_high_freq_factor,
+            cfg.rope_original_max_position,
+        ),
+        jnp.float32,
+    )
+
+
+def decode_step(
+    params: Params,
+    cfg: LlamaConfig,
+    state: DecoderState,
+    x_embed: jnp.ndarray,  # (B, S, D) input embeddings (speech already spliced)
+    valid_mask: Optional[jnp.ndarray] = None,  # (B, S) 1 = real token
+) -> Tuple[jnp.ndarray, DecoderState]:
+    """Forward S new positions against the cache; append their K/V.
+
+    RoPE positions are cache-relative: cached entry j gets position j, new
+    query i gets position valid_len + i (ref: patch_llm.py:60-76).
+
+    Returns (logits (B, S, V), new_state).
+    """
+    B, S, D = x_embed.shape
+    C = state.k.shape[2]
+    H, KV, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    inv_freq = rope_inv_freq(cfg)
+    vlen = state.valid_len  # (B,)
+
+    # Attention runs over [cache (C slots) | new (S slots)] concatenated.
+    # cache slot j is visible iff j < valid_len; new slot j' iff j' <= i
+    # (causal within the appended block) and the token is real.
+    qi = lax.broadcasted_iota(jnp.int32, (B, S, C + S), 1)
+    kj = lax.broadcasted_iota(jnp.int32, (B, S, C + S), 2)
+    mask = jnp.where(
+        kj < C, kj < vlen[:, None, None], (kj - C) <= qi
+    )
+    if valid_mask is not None:
+        new_ok = jnp.concatenate(
+            [
+                jnp.ones((B, C), bool),
+                valid_mask.astype(bool),
+            ],
+            axis=1,
+        )
+        mask = mask & new_ok[:, None, :]
+    bias = M.additive(mask)[:, None]  # (B,1,S,C+S)
+
+    k_pos = jnp.concatenate(
+        [
+            lax.broadcasted_iota(jnp.int32, (B, C), 1),
+            vlen[:, None] + lax.broadcasted_iota(jnp.int32, (B, S), 1),
+        ],
+        axis=1,
+    )  # (B, C+S)
+    q_pos = vlen[:, None] + lax.broadcasted_iota(jnp.int32, (B, S), 1)
+
+    scale = 1.0 / math.sqrt(Dh)
+
+    def body(h, per_layer):
+        lp, ck, cv = per_layer
+        y = _rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
+        q = (y @ lp["wq"]).reshape(B, S, H, Dh)
+        k_new = (y @ lp["wk"]).reshape(B, S, KV, Dh)
+        v_new = (y @ lp["wv"]).reshape(B, S, KV, Dh)
+
+        k_all = jnp.concatenate([ck, k_new], axis=1)  # (B, C+S, KV, Dh)
+        v_all = jnp.concatenate([cv, v_new], axis=1)
+
+        # rotate on read
+        qr = R.apply_llama_rope(
+            jnp.transpose(q, (0, 2, 1, 3)), q_pos[:, None], inv_freq
+        )  # (B,H,S,Dh)
+        kr = R.apply_llama_rope(
+            jnp.transpose(k_all, (0, 2, 1, 3)), k_pos[:, None], inv_freq
+        )  # (B,KV,C+S,Dh)
+        vt = jnp.transpose(v_all, (0, 2, 1, 3))
+
+        # GQA: fold groups into the head axis
+        qg = qr.reshape(B, KV, H // KV, S, Dh)
+        logits = jnp.einsum(
+            "bkgsd,bktd->bkgst", qg, kr, preferred_element_type=jnp.float32
+        )
+        logits = logits * scale + bias.astype(jnp.float32)[:, 0][:, None, None]
+        w = jax.nn.softmax(logits, axis=-1).astype(vt.dtype)
+        attn = jnp.einsum("bkgst,bktd->bkgsd", w, vt)
+        attn = jnp.transpose(attn.reshape(B, H, S, Dh), (0, 2, 1, 3))
+        h = h + attn.reshape(B, S, H * Dh) @ lp["wo"]
+
+        y = _rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
+        y = jax.nn.silu(y @ lp["w_gate"]) * (y @ lp["w_up"])
+        h = h + y @ lp["w_down"]
+        return h, (k_new, v_new)
+
+    h, new_kv = lax.scan(
+        lambda carry, per: body(carry, per),
+        x_embed,
+        (params["layers"], state.k, state.v),
+    )
+    h = _rms_norm(h, params["final_ln"], cfg.rms_norm_eps)
+    logits = h @ params["lm_head"]
+
+    # append new K/V at valid_len (per batch element)
+    def append(buf, new):
+        # buf: (L,B,C,KV,Dh), new: (L,B,S,KV,Dh)
+        def per_batch(buf_b, new_b, start):
+            return lax.dynamic_update_slice(
+                buf_b, new_b.astype(buf_b.dtype), (0, start, 0, 0)
+            )
+
+        return jax.vmap(per_batch, in_axes=(1, 1, 0), out_axes=1)(
+            buf, new, vlen
+        )
+
+    n_append = (
+        valid_mask.sum(-1).astype(jnp.int32)
+        if valid_mask is not None
+        else jnp.full((B,), S, jnp.int32)
+    )
+    new_state = DecoderState(
+        k=append(state.k, new_kv[0]),
+        v=append(state.v, new_kv[1]),
+        valid_len=vlen + n_append,
+    )
+    return logits, new_state
+
+
+def offline_forward(
+    params: Params,
+    cfg: LlamaConfig,
+    x_embed: jnp.ndarray,  # (B, S, D)
+    attention_mask: Optional[jnp.ndarray] = None,  # (B, S) 1 = real
+) -> jnp.ndarray:
+    """Training forward: plain causal attention, no cache.
+
+    Returns logits (B, S, V)."""
+    B, S, D = x_embed.shape
+    H, KV, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    inv_freq = rope_inv_freq(cfg)
+    qi = lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    kj = lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    mask = (kj <= qi)[None]
+    if attention_mask is not None:
+        mask = mask & attention_mask[:, None, :].astype(bool)
+    bias = M.additive(mask)[:, None]  # (B,1,S,S)
+    pos = lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    scale = 1.0 / math.sqrt(Dh)
+
+    def body(h, lp):
+        y = _rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
+        q = (y @ lp["wq"]).reshape(B, S, H, Dh)
+        k = (y @ lp["wk"]).reshape(B, S, KV, Dh)
+        v = (y @ lp["wv"]).reshape(B, S, KV, Dh)
+        qr = R.apply_llama_rope(
+            jnp.transpose(q, (0, 2, 1, 3)), pos[:, None], inv_freq
+        )
+        kr = R.apply_llama_rope(
+            jnp.transpose(k, (0, 2, 1, 3)), pos[:, None], inv_freq
+        )
+        vt = jnp.transpose(v, (0, 2, 1, 3))
+        qg = qr.reshape(B, KV, H // KV, S, Dh)
+        logits = jnp.einsum(
+            "bkgsd,bktd->bkgst", qg, kr, preferred_element_type=jnp.float32
+        )
+        logits = logits * scale + bias.astype(jnp.float32)[:, 0][:, None, None]
+        w = jax.nn.softmax(logits, axis=-1).astype(vt.dtype)
+        attn = jnp.einsum("bkgst,bktd->bkgsd", w, vt)
+        attn = jnp.transpose(attn.reshape(B, H, S, Dh), (0, 2, 1, 3))
+        h = h + attn.reshape(B, S, H * Dh) @ lp["wo"]
+        y = _rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
+        y = jax.nn.silu(y @ lp["w_gate"]) * (y @ lp["w_up"])
+        h = h + y @ lp["w_down"]
+        return h, None
+
+    h, _ = lax.scan(body, x_embed, params["layers"])
+    h = _rms_norm(h, params["final_ln"], cfg.rms_norm_eps)
+    return h @ params["lm_head"]
+
+
+def embed(params: Params, token_ids: jnp.ndarray) -> jnp.ndarray:
+    return params["embed"][token_ids]
+
+
+# ---------------------------------------------------------------------------
+# Beam-search token step with shared prefix cache
+#
+# During one chunk's beam search the chunk prefix (system/user/assistant
+# headers + speech) is identical for every beam; only the <= max_new_tokens
+# generated so far differ.  The reference repeat-interleaves the whole KV
+# cache across beams (patch_hf.py:305-342) and gathers it per step; here the
+# prefix stays un-replicated (batch 1) and only a small per-beam generation
+# buffer is reordered — a large memory/bandwidth saving on TPU.
+
+
+def beam_token_step(
+    params: Params,
+    cfg: LlamaConfig,
+    prefix: DecoderState,  # batch dim 1, valid_len (1,)
+    gen_k: jnp.ndarray,  # (L, beam, G, KV, Dh) generated-token keys (unrotated)
+    gen_v: jnp.ndarray,
+    gen_len: jnp.ndarray,  # scalar int32: tokens generated so far (same for all beams)
+    x_embed: jnp.ndarray,  # (beam, 1, D) embeddings of the last tokens
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One decode step for all beams.  Returns (logits (beam, V), new gen_k,
+    new gen_v) with this step's K/V written at slot ``gen_len``."""
+    beam, S, D = x_embed.shape
+    assert S == 1
+    C = prefix.k.shape[2]
+    G = gen_k.shape[2]
+    H, KV, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    inv_freq = rope_inv_freq(cfg)
+    plen = prefix.valid_len[0]  # scalar
+
+    # key slots: [prefix C | gen G]; validity and positions
+    kj = jnp.arange(C + G)
+    key_ok = jnp.where(kj < C, kj < plen, (kj - C) < gen_len + 1)
+    bias = jnp.where(key_ok, 0.0, M.NEG_INF)[None, None, None, :]
+    k_pos = jnp.where(kj < C, kj, plen + (kj - C))  # (C+G,)
+    q_pos = (plen + gen_len)[None, None]  # (1,1)
+
+    scale = 1.0 / math.sqrt(Dh)
+
+    def body(h, per_layer):
+        lp, pk, pv, gk, gv = per_layer
+        y = _rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
+        q = (y @ lp["wq"]).reshape(beam, 1, H, Dh)
+        k_new = (y @ lp["wk"]).reshape(beam, 1, KV, Dh)
+        v_new = (y @ lp["wv"]).reshape(beam, 1, KV, Dh)
+
+        gk = lax.dynamic_update_slice(
+            gk, k_new.astype(gk.dtype), (0, gen_len, 0, 0)
+        )
+        gv = lax.dynamic_update_slice(
+            gv, v_new.astype(gv.dtype), (0, gen_len, 0, 0)
+        )
+        # (beam, C+G, KV, Dh): broadcast shared prefix across beams
+        k_all = jnp.concatenate(
+            [jnp.broadcast_to(pk, (beam,) + pk.shape[1:]), gk], axis=1
+        )
+        v_all = jnp.concatenate(
+            [jnp.broadcast_to(pv, (beam,) + pv.shape[1:]), gv], axis=1
+        )
+
+        qr = R.apply_llama_rope(
+            jnp.transpose(q, (0, 2, 1, 3)), q_pos, inv_freq
+        )
+        kr = R.apply_llama_rope(
+            jnp.transpose(k_all, (0, 2, 1, 3)), k_pos[None, None], inv_freq
+        )
+        vt = jnp.transpose(v_all, (0, 2, 1, 3))
+
+        qg = qr.reshape(beam, KV, H // KV, 1, Dh)
+        logits = jnp.einsum(
+            "bkgsd,bktd->bkgst", qg, kr, preferred_element_type=jnp.float32
+        )
+        logits = logits * scale + bias
+        w = jax.nn.softmax(logits, axis=-1).astype(vt.dtype)
+        attn = jnp.einsum("bkgst,bktd->bkgsd", w, vt)
+        attn = jnp.transpose(attn.reshape(beam, H, 1, Dh), (0, 2, 1, 3))
+        h = h + attn.reshape(beam, 1, H * Dh) @ lp["wo"]
+        y = _rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
+        y = jax.nn.silu(y @ lp["w_gate"]) * (y @ lp["w_up"])
+        h = h + y @ lp["w_down"]
+        return h, (gk, gv)
+
+    h, (new_gk, new_gv) = lax.scan(
+        lambda carry, per: body(carry, per),
+        x_embed,
+        (params["layers"], prefix.k, prefix.v, gen_k, gen_v),
+    )
+    h = _rms_norm(h, params["final_ln"], cfg.rms_norm_eps)
+    logits = (h @ params["lm_head"])[:, 0]  # (beam, V)
+    return logits, new_gk, new_gv
+
+
+# ---------------------------------------------------------------------------
+# Eviction
+
+
+def evict_cache(
+    state: DecoderState,
+    keep_len: jnp.ndarray,  # (B,) int32: tail length to keep
+    sys_len: jnp.ndarray | int,  # pinned prefix length (0 to disable)
+) -> DecoderState:
+    """Chunk-granular eviction with pinned system prompt (LLM-Inf).
+
+    Keeps cache[0:sys_len] ++ cache[valid-keep : valid]; the result is
+    left-aligned with valid_len = sys_len + keep_len.  One gather along the
+    cache axis (ref semantics: agents/infinisst.py:340-361).
+    """
+    C = state.k.shape[2]
+    sys_len = jnp.asarray(sys_len, jnp.int32)
+    vlen = state.valid_len
+    idx = jax.vmap(
+        lambda v, k: jnp.where(
+            jnp.arange(C) < sys_len,
+            jnp.arange(C),
+            jnp.clip(jnp.arange(C) + (v - k) - sys_len, 0, C - 1),
+        )
+    )(vlen, keep_len)  # (B, C)
+
+    def gather(buf):  # (L,B,C,KV,Dh)
+        return jnp.take_along_axis(buf, idx[None, :, :, None, None], axis=2)
+
+    return DecoderState(
+        k=gather(state.k),
+        v=gather(state.v),
+        valid_len=sys_len + keep_len,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Init
+
+
+def init_params(key: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, 10)
+    D, I, L, V = (
+        cfg.hidden_size,
+        cfg.intermediate_size,
+        cfg.num_layers,
+        cfg.vocab_size,
+    )
+    H, KV, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    def stacked(k, shape):
+        return jax.random.normal(k, (L,) + shape, dtype) / math.sqrt(shape[0])
+
+    layers = {
+        "input_ln": jnp.ones((L, D), dtype),
+        "post_ln": jnp.ones((L, D), dtype),
+        "wq": stacked(ks[0], (D, H * Dh)),
+        "wk": stacked(ks[1], (D, KV * Dh)),
+        "wv": stacked(ks[2], (D, KV * Dh)),
+        "wo": stacked(ks[3], (H * Dh, D)),
+        "w_gate": stacked(ks[4], (D, I)),
+        "w_up": stacked(ks[5], (D, I)),
+        "w_down": stacked(ks[6], (I, D)),
+    }
+    return {
+        "embed": jax.random.normal(ks[7], (V, D), dtype) * 0.02,
+        "layers": layers,
+        "final_ln": jnp.ones((D,), dtype),
+        "lm_head": jax.random.normal(ks[8], (D, V), dtype) / math.sqrt(D),
+    }

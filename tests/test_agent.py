@@ -1,0 +1,103 @@
+"""End-to-end InfiniSST agent smoke test on a tiny random model: stream
+synthetic audio through the policy loop, verify actions, bounded cache, and
+eviction bookkeeping."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from infinisst_tpu.agents.base import AgentStates
+from infinisst_tpu.agents.infinisst import InfiniSSTAgent, InfiniSSTOptions
+from infinisst_tpu.core.config import (
+    StreamConfig,
+    tiny_model_config,
+)
+from infinisst_tpu.data.template import PromptBuilder, StubTokenizer
+from infinisst_tpu.models import adapter as A
+from infinisst_tpu.models import llama as L
+from infinisst_tpu.models import wav2vec2 as W
+
+VOCAB = 512
+CFG = tiny_model_config(vocab_size=VOCAB)
+
+
+def tiny_params():
+    k = jax.random.PRNGKey(0)
+    return {
+        "w2v2": W.init_params(jax.random.fold_in(k, 0), CFG.w2v2),
+        "adapter": A.init_params(jax.random.fold_in(k, 1), CFG.adapter),
+        "llama": L.init_params(jax.random.fold_in(k, 2), CFG.llama),
+    }
+
+
+def small_special_tokens():
+    """Token ids that fit the tiny vocab."""
+    from infinisst_tpu.core.config import SpecialTokens
+
+    return SpecialTokens(
+        bos=500, eot=501, eos=501, start_header=502, end_header=503,
+        pad=504, user=505, assistant=506, newline2=507, sp_patch=508,
+        sp_start=509, sp_end=510, latency=(511, 511, 511, 511),
+    )
+
+
+def make_agent(multiplier=1, max_llm_cache_size=120, capacity=256):
+    cfg = CFG.replace(tokens=small_special_tokens())
+    stream = StreamConfig(
+        max_cache_frames=96,
+        max_llm_cache_tokens=max_llm_cache_size,
+        llm_cache_capacity=capacity,
+    )
+    tok = StubTokenizer(vocab_size=VOCAB, lo=10, hi=400)
+    builder = PromptBuilder(tok, cfg.tokens)
+    opts = InfiniSSTOptions(
+        latency_multiplier=multiplier,
+        beam=2,
+        max_llm_cache_size=max_llm_cache_size,
+        no_repeat_ngram_lookback=32,
+    )
+    return InfiniSSTAgent(
+        tiny_params(), cfg, stream, builder, opts, param_dtype=jnp.float32
+    )
+
+
+@pytest.mark.slow
+def test_agent_stream():
+    agent = make_agent()
+    rng = np.random.RandomState(0)
+    chunk = agent.chunk_samples
+
+    n_chunks = 6
+    wrote = 0
+    for i in range(n_chunks):
+        audio = rng.randn(chunk).astype(np.float32) * 0.1
+        act = agent.push(audio, finished=(i == n_chunks - 1))
+        assert act is not None
+        if not act.is_read():
+            wrote += 1
+    # final action must be a finished write
+    assert not act.is_read() and act.finished
+    # states consumed all audio
+    assert agent.states.src_len == n_chunks * chunk
+    # encoder cache frame counter advanced
+    assert int(agent.enc_state.n_frames[0]) == n_chunks * 48
+    # llm cache stayed within the configured bound (checked after eviction)
+    assert agent.llm_cache_len <= agent.opts.max_llm_cache_size + \
+        agent.system_prompt_size
+    assert agent.llm_cache_len == int(agent.dec_state.valid_len[0])
+
+
+@pytest.mark.slow
+def test_agent_tail_chunk():
+    """Final partial chunk (1 unit with m=2) is padded and processed."""
+    agent = make_agent(multiplier=2)
+    rng = np.random.RandomState(1)
+    chunk = agent.chunk_samples  # 2 units
+    act = agent.push(rng.randn(chunk).astype(np.float32) * 0.1)
+    # push only half a chunk then finish
+    act = agent.push(
+        rng.randn(chunk // 2).astype(np.float32) * 0.1, finished=True
+    )
+    assert not act.is_read() and act.finished
+    assert int(agent.enc_state.n_frames[0]) == 96 + 48

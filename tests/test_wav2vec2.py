@@ -1,0 +1,115 @@
+"""Streaming-vs-offline consistency: encoding chunk-by-chunk with the
+EncoderState cache must equal the full-sequence forward under the same block
+mask — the invariant implicit in the reference's mask pair
+(patch_speech_encoder.py:52-77).  SURVEY.md §4(c)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from infinisst_tpu.core.config import (
+    CONV_LEFT_CONTEXT,
+    SAMPLES_PER_FRAME,
+    tiny_model_config,
+)
+from infinisst_tpu.models import adapter as A
+from infinisst_tpu.models import wav2vec2 as W
+from infinisst_tpu.streaming.state import RawAudioWindow, init_encoder_state
+
+CFG = tiny_model_config()
+
+
+def test_conv_out_length():
+    cfg = CFG.w2v2
+    # receptive field 400, stride 320
+    assert W.conv_out_length(cfg, 400) == 1
+    assert W.conv_out_length(cfg, 399 + 15360) == 48
+    assert W.conv_out_length(cfg, 399 + 2 * 15360) == 96
+
+
+@pytest.mark.parametrize("multiplier", [1, 2])
+def test_streaming_equals_offline(multiplier):
+    cfg = CFG.w2v2
+    key = jax.random.PRNGKey(0)
+    params = W.init_params(key, cfg)
+
+    chunk_frames = 48 * multiplier
+    chunk_samples = chunk_frames * SAMPLES_PER_FRAME
+    max_cache = 96  # small window to exercise eviction
+    n_chunks = 4
+
+    audio = (
+        jax.random.normal(jax.random.PRNGKey(1), (n_chunks * chunk_samples,))
+        * 0.1
+    )
+
+    # --- offline: zero offset + full audio, training mask
+    full = jnp.concatenate([jnp.zeros((CONV_LEFT_CONTEXT,)), audio])[None]
+    offline = W.forward(params, cfg, full, chunk_frames, max_cache)
+
+    # --- streaming
+    state = init_encoder_state(
+        cfg.encoder_layers, 1, max_cache, cfg.encoder_attention_heads,
+        cfg.head_dim, dtype=jnp.float32,
+    )
+    win = RawAudioWindow(CONV_LEFT_CONTEXT + 2 * chunk_samples, chunk_samples)
+    outs = []
+    step = jax.jit(
+        W.chunk_step, static_argnames=("cfg", "chunk_frames", "max_cache_frames")
+    )
+    for i in range(n_chunks):
+        w = win.push(
+            np.asarray(audio[i * chunk_samples : (i + 1) * chunk_samples])
+        )
+        out, state = step(
+            params, cfg, state, jnp.asarray(w)[None],
+            chunk_frames=chunk_frames, max_cache_frames=max_cache,
+        )
+        outs.append(out)
+    streaming = jnp.concatenate(outs, axis=1)
+
+    assert streaming.shape == offline.shape
+    np.testing.assert_allclose(
+        np.asarray(streaming), np.asarray(offline), atol=2e-4, rtol=2e-3
+    )
+
+
+def test_adapter_chunk_local():
+    """kernel==stride convs: chunked adapter == full adapter."""
+    cfg = CFG.adapter
+    params = A.init_params(jax.random.PRNGKey(2), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 96, cfg.in_dim))
+    full = A.forward(params, cfg, x)
+    parts = jnp.concatenate(
+        [A.forward(params, cfg, x[:, :48]), A.forward(params, cfg, x[:, 48:])],
+        axis=1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(parts), atol=1e-5, rtol=1e-5
+    )
+    assert full.shape == (1, 24, cfg.out_dim)
+
+
+def test_batched_streaming_mask_consistency():
+    """Batch of 2 identical streams must produce identical outputs."""
+    cfg = CFG.w2v2
+    params = W.init_params(jax.random.PRNGKey(0), cfg)
+    chunk_frames, chunk_samples, max_cache = 48, 48 * 320, 96
+    state = init_encoder_state(
+        cfg.encoder_layers, 2, max_cache, cfg.encoder_attention_heads,
+        cfg.head_dim, dtype=jnp.float32,
+    )
+    audio = jax.random.normal(jax.random.PRNGKey(5), (2 * chunk_samples,)) * 0.1
+    win = RawAudioWindow(CONV_LEFT_CONTEXT + 2 * chunk_samples, chunk_samples)
+    for i in range(2):
+        w = win.push(
+            np.asarray(audio[i * chunk_samples : (i + 1) * chunk_samples])
+        )
+        batch_w = jnp.tile(jnp.asarray(w)[None], (2, 1))
+        out, state = W.chunk_step(
+            params, cfg, state, batch_w, chunk_frames, max_cache
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[0]), np.asarray(out[1]), atol=1e-6
+        )
