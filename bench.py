@@ -1,0 +1,97 @@
+"""Driver benchmark: streaming RTF of the InfiniSST pipeline on real TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: computation-only streaming RTF (wall time per chunk /
+chunk duration) at latency multiplier 1 with beam 4 — the reference
+measures the same with its synchronized_timer (agents/infinisst.py:37-48);
+baseline RTF on L40S for En-De m=1 is 0.382 (plots/plot.ipynb cell 9,
+BASELINE.md).  vs_baseline is the speedup factor baseline_rtf / our_rtf
+(>1 = faster than the reference).
+
+Model scale: wav2vec2-large encoder (reference scale) + a 1.5B-class
+decoder (``bench_1chip_config``) — Llama-3.1-8B bf16 does not fit a single
+v5e chip; the 8B path runs under tensor parallelism (see
+__graft_entry__.dryrun_multichip).  Weights are random; RTF does not depend
+on weight values.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from infinisst_tpu.agents.infinisst import InfiniSSTAgent, InfiniSSTOptions
+    from infinisst_tpu.core.config import StreamConfig
+    from infinisst_tpu.core.presets import bench_1chip_config
+    from infinisst_tpu.data.template import PromptBuilder, StubTokenizer
+    from infinisst_tpu.models import adapter as A
+    from infinisst_tpu.models import llama as L
+    from infinisst_tpu.models import wav2vec2 as W
+
+    multiplier = int(sys.argv[sys.argv.index("--multiplier") + 1]) if "--multiplier" in sys.argv else 1
+    n_chunks = int(sys.argv[sys.argv.index("--chunks") + 1]) if "--chunks" in sys.argv else 12
+    warmup = 3
+
+    cfg = bench_1chip_config()
+    dtype = jnp.bfloat16
+    k = jax.random.PRNGKey(0)
+    params = {
+        "w2v2": W.init_params(jax.random.fold_in(k, 0), cfg.w2v2, dtype),
+        "adapter": A.init_params(jax.random.fold_in(k, 1), cfg.adapter, dtype),
+        "llama": L.init_params(jax.random.fold_in(k, 2), cfg.llama, dtype),
+    }
+    stream = StreamConfig()
+    builder = PromptBuilder(StubTokenizer(cfg.llama.vocab_size), cfg.tokens)
+    opts = InfiniSSTOptions(
+        latency_multiplier=multiplier,
+        beam=4,
+        max_llm_cache_size=stream.max_llm_cache_tokens,
+    )
+    agent = InfiniSSTAgent(params, cfg, stream, builder, opts, param_dtype=dtype)
+
+    rng = np.random.RandomState(0)
+    chunk = agent.chunk_samples
+    chunk_sec = chunk / 16000.0
+
+    times = []
+    tokens_out = 0
+    for i in range(n_chunks):
+        audio = rng.randn(chunk).astype(np.float32) * 0.1
+        t0 = time.perf_counter()
+        agent.push(audio, finished=False)
+        jax.block_until_ready(agent.dec_state.k)
+        dt = time.perf_counter() - t0
+        if i >= warmup:
+            times.append(dt)
+            tokens_out += 0  # counted below from target_ids delta
+    n_tok = len(agent.states.target_ids)
+
+    rtf = float(np.mean(times)) / chunk_sec
+    baseline_rtf = 0.382  # En-De m=1 on L40S, BASELINE.md
+    result = {
+        "metric": f"streaming_rtf_m{multiplier}_beam4_1chip",
+        "value": round(rtf, 4),
+        "unit": "rtf",
+        "vs_baseline": round(baseline_rtf / rtf, 3),
+    }
+    print(json.dumps(result))
+    # extra diagnostics on stderr (driver reads stdout's single line)
+    print(
+        f"chunks={len(times)} mean={np.mean(times)*1e3:.1f}ms "
+        f"p50={np.percentile(times,50)*1e3:.1f}ms "
+        f"p90={np.percentile(times,90)*1e3:.1f}ms tokens={n_tok} "
+        f"platform={jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,236 @@
+"""AlignAtt agent: attention-guided streaming policy over an offline model.
+
+Mirror of the reference baseline (agents/alignatt.py): every policy call
+re-encodes the full audio so far with an effectively bidirectional encoder
+(block/max-cache set huge, ref: scripts/infer/streamatt.sh:78-79), builds a
+single-turn prompt with the target-so-far as the assistant prefix, and beam-
+decodes while probing the head-averaged attention of one decoder layer over
+the speech span: emission stops at the first token whose most-attended
+frame falls within the last ``frame_num`` frames (ref :150-167), with
+word-boundary trimming for non-Chinese targets (ref :170-179).
+
+TPU adaptation: attention argmaxes are computed in-jit (decode/beam.py
+attn_probe) instead of materialising attention tensors; audio length is
+bucketed to bound the compiled-shape set.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from infinisst_tpu.agents.base import (
+    AgentStates,
+    ReadAction,
+    WriteAction,
+)
+from infinisst_tpu.agents.infinisst import InfiniSSTAgent, InfiniSSTOptions
+from infinisst_tpu.core.config import CONV_LEFT_CONTEXT
+from infinisst_tpu.decode import beam as beam_mod
+from infinisst_tpu.models import adapter as adapter_mod
+from infinisst_tpu.models import llama as llama_mod
+from infinisst_tpu.models import wav2vec2 as w2v2_mod
+from infinisst_tpu.streaming.state import init_decoder_state
+
+SAMPLES_PER_SPEECH_TOKEN = 1280  # 80 ms
+
+
+@dataclass
+class AlignAttOptions(InfiniSSTOptions):
+    frame_num: int = 1
+    attn_layer: int = 14
+    min_start_sec: float = 0.32
+    max_len_a: int = 5  # tokens per second cap (ref: options.py:44-48)
+    max_len_b: int = 20
+    length_bucket_chunks: int = 4  # audio length bucketing (960 ms units)
+    decode_buf_tokens: int = 64  # static beam-loop bound per call
+
+
+class AlignAttStates(AgentStates):
+    def __init__(self):
+        super().__init__()
+        self.most_attended_indices: list = []
+
+    def reset(self):
+        super().reset()
+        self.most_attended_indices = []
+
+
+class AlignAttAgent(InfiniSSTAgent):
+    """Offline-model attention policy.  Reuses InfiniSSTAgent's model
+    bundle; the streaming caches are unused (full recompute per call)."""
+
+    def __init__(self, params, model_cfg, stream_cfg, builder, opts, **kw):
+        self._offline_fns: Dict = {}
+        super().__init__(params, model_cfg, stream_cfg, builder, opts, **kw)
+
+    def build_states(self):
+        return AlignAttStates()
+
+    # -- jitted offline generate ------------------------------------------
+    def _offline_fn(self, n_units: int, prompt_len_bucket: int):
+        key = (n_units, prompt_len_bucket)
+        if key in self._offline_fns:
+            return self._offline_fns[key]
+        cfg = self.cfg
+        opts: AlignAttOptions = self.opts
+        n_frames = 48 * n_units
+        n_speech = 12 * n_units
+        G = opts.decode_buf_tokens
+        spec = beam_mod.BeamSpec(
+            beam=opts.beam,
+            max_new_tokens=G,
+            eos_id=cfg.tokens.eos,
+            pad_id=cfg.tokens.pad,
+            no_repeat_ngram_size=opts.no_repeat_ngram_size,
+            repetition_penalty=opts.repetition_penalty,
+        )
+        cap = prompt_len_bucket + G
+        patch_start = self.builder.offline_prompt(n_speech, []).patch_start
+        probe = (opts.attn_layer, patch_start, patch_start + n_speech)
+
+        @jax.jit
+        def offline_generate(params, audio, ids, prompt_len, max_steps):
+            # audio: (1, 399 + n_frames*320); ids: (1, Sbucket) padded
+            frames = w2v2_mod.forward(
+                params["w2v2"], cfg.w2v2, audio,
+                block_frames=10**7, max_cache_frames=10**7,
+            )
+            speech = adapter_mod.forward(params["adapter"], cfg.adapter, frames)
+            emb = llama_mod.embed(params["llama"], ids)
+            emb = jax.lax.dynamic_update_slice(
+                emb, speech.astype(emb.dtype), (0, patch_start, 0)
+            )
+            dec = init_decoder_state(
+                cfg.llama.num_layers, 1, cap, cfg.llama.num_kv_heads,
+                cfg.llama.head_dim, emb.dtype,
+            )
+            valid = (
+                jnp.arange(ids.shape[1])[None] < prompt_len
+            ).astype(jnp.int32)
+            out = llama_mod.decode_step(
+                params["llama"], cfg.llama, dec, emb, valid_mask=valid,
+                attn_probe=probe,
+            )
+            logits, dec, probes = out
+            # logits at the last *valid* position
+            last = logits[0, prompt_len - 1]
+            first_attn = probes[0, prompt_len - 1]
+            res = beam_mod.beam_search(
+                params["llama"], cfg.llama, dec, last,
+                ids[0], prompt_len,
+                jnp.zeros((1,), jnp.int32), jnp.asarray(0, jnp.int32),
+                spec, encoder_ngram_size=0,
+                suppress_mask=self._suppress,
+                max_steps=max_steps,
+                attn_probe=probe,
+                first_attn_idx=first_attn,
+            )
+            # attention trace of the re-computed target prefix rows
+            # (ref :150-154): rows sys..prompt_len-1 cover the target ids
+            return res, probes
+        self._offline_fns[key] = offline_generate
+        return offline_generate
+
+    # -- policy ------------------------------------------------------------
+    def policy(self, states: Optional[AlignAttStates] = None):
+        if states is None:
+            states = self.states
+        opts: AlignAttOptions = self.opts
+
+        if states.source_sample_rate == 0:
+            length_in_seconds = 0.0
+        else:
+            length_in_seconds = len(states.source) / states.source_sample_rate
+        if not states.source_finished and length_in_seconds < opts.min_start_sec:
+            return ReadAction()
+        if states.source_finished and length_in_seconds < 0.32:
+            return WriteAction(content="", finished=True)
+
+        # bucket audio length to 960 ms units (pad with zeros)
+        src = np.asarray(states.source, np.float32)
+        unit = self.unit_samples
+        n_units = int(np.ceil(len(src) / unit))
+        bucket = opts.length_bucket_chunks
+        n_units = int(np.ceil(n_units / bucket) * bucket)
+        audio = np.zeros(CONV_LEFT_CONTEXT + n_units * unit, np.float32)
+        audio[CONV_LEFT_CONTEXT : CONV_LEFT_CONTEXT + len(src)] = src
+
+        n_speech = 12 * n_units
+        prompt = self.builder.offline_prompt(n_speech, states.target_ids)
+        plen = len(prompt.ids)
+        pbucket = int(np.ceil(plen / 64) * 64)
+        ids = np.full((1, pbucket), self.cfg.tokens.pad, np.int32)
+        ids[0, :plen] = prompt.ids
+
+        max_tokens = int(length_in_seconds * opts.max_len_a + opts.max_len_b)
+        max_steps = max(1, max_tokens - len(states.target_ids))
+        max_steps = min(max_steps, opts.decode_buf_tokens)
+
+        fn = self._offline_fn(n_units, pbucket)
+        res, probes = fn(
+            self.params,
+            jnp.asarray(audio)[None],
+            jnp.asarray(ids),
+            jnp.asarray(plen, jnp.int32),
+            jnp.asarray(max_steps, jnp.int32),
+        )
+        n_tok = int(res.n_tokens)
+        out_ids = np.asarray(res.tokens[:n_tok]).tolist()
+        attn_idx = np.asarray(res.attn_idx[:n_tok]).tolist()
+
+        # refresh history attention trace (rows of the re-computed target
+        # prefix; ref :150-154)
+        tgt_start = prompt.patch_start + n_speech + 5  # assistant text start
+        probes_np = np.asarray(probes[0])
+        states.most_attended_indices = [
+            int(probes_np[i]) * SAMPLES_PER_SPEECH_TOKEN
+            for i in range(tgt_start, plen)
+        ]
+
+        if not states.source_finished:
+            # stop at the first token attending within the last frame_num
+            # frames of the *real* (unpadded) speech span
+            real_speech = int(
+                np.ceil(len(src) / (SAMPLES_PER_SPEECH_TOKEN * 12)) * 12
+            )
+            cnt = 0
+            for i, a in enumerate(attn_idx):
+                if a >= real_speech - opts.frame_num:
+                    break
+                states.most_attended_indices.append(
+                    a * SAMPLES_PER_SPEECH_TOKEN
+                )
+                cnt += 1
+            prediction_ids = out_ids[:cnt]
+            if "�" in self.tokenizer.decode(prediction_ids):
+                prediction_ids = prediction_ids[:-1]
+            if opts.target_lang != "Chinese":
+                # word-boundary trim (ref :170-179)
+                if cnt < len(out_ids) and cnt < n_tok and not self.tokenizer.decode(
+                    [out_ids[cnt]]
+                ).startswith(" "):
+                    prediction_ids = prediction_ids[:-1]
+                    while prediction_ids:
+                        tok = prediction_ids[-1]
+                        prediction_ids = prediction_ids[:-1]
+                        if self.tokenizer.decode([tok]).startswith(" "):
+                            break
+        else:
+            prediction_ids = out_ids
+
+        states.target_ids.extend(prediction_ids)
+        translation = (
+            self.tokenizer.decode(prediction_ids, skip_special_tokens=True)
+            .strip()
+        )
+        states.src_len = len(states.source)
+        if translation != "" or states.source_finished:
+            return WriteAction(
+                content=translation, finished=states.source_finished
+            )
+        return ReadAction()

@@ -1,0 +1,220 @@
+"""Inference CLI: build an agent from checkpoints and run the streaming
+eval harness (the simuleval command-line equivalent).
+
+Usage (mirrors scripts/infer/infinisst.sh):
+  python -m infinisst_tpu.agents.cli \
+      --agent infinisst --source tst-COMMON_full.source \
+      --target tst-COMMON_full.target --output out/ \
+      --state-dict-path .../pytorch_model.bin \
+      --tokenizer-path .../llama-3.1-8b-instruct-hf \
+      --latency-multiplier 2 --beam 4 --max-llm-cache-size 1000 \
+      --always-cache-system-prompt --target-lang German
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+
+
+def add_args(p: argparse.ArgumentParser):
+    # speech encoder args (ref: agents/options.py add_speech_encoder_args)
+    p.add_argument("--w2v2-path", type=str, default=None)
+    p.add_argument("--w2v2-type", type=str, default="w2v2")
+    p.add_argument("--ctc-finetuned", type=str, default="True")
+    p.add_argument("--length-shrink-cfg", type=str, default=None,
+                   help="accepted for CLI parity; the adapter geometry is "
+                   "fixed to [(1024,2,2)]*2 in the model preset")
+    p.add_argument("--block-size", type=int, default=48)
+    p.add_argument("--max-cache-size", type=int, default=576)
+    p.add_argument("--xpos", type=int, default=0)
+    p.add_argument("--rope", type=int, default=1)
+    # gen args (ref: add_gen_args)
+    p.add_argument("--beam", type=int, default=4)
+    p.add_argument("--max-len-a", type=int, default=5)
+    p.add_argument("--max-len-b", type=int, default=20)
+    p.add_argument("--no-repeat-ngram-lookback", type=int, default=100)
+    p.add_argument("--no-repeat-ngram-size", type=int, default=5)
+    p.add_argument("--repetition-penalty", type=float, default=1.2)
+    p.add_argument("--suppress-non-language", action="store_true")
+    p.add_argument("--max-new-tokens", type=int, default=None)
+    # simuleval args (ref: add_simuleval_args)
+    p.add_argument("--source-lang", type=str, default="English")
+    p.add_argument("--target-lang", type=str, default="German")
+    p.add_argument("--min-start-sec", type=float, default=0.0)
+    # agent/infinisst args (ref: agents/infinisst.py add_args)
+    p.add_argument("--model-name", type=str, default=None,
+                   help="HF Llama dir (config+tokenizer+weights)")
+    p.add_argument("--tokenizer-path", type=str, default=None)
+    p.add_argument("--state-dict-path", type=str, default=None)
+    p.add_argument("--latency-multiplier", type=int, default=1)
+    p.add_argument("--max-latency-multiplier", type=int, default=4)
+    p.add_argument("--max-llm-cache-size", type=int, default=1000)
+    p.add_argument("--always-cache-system-prompt", action="store_true")
+    # alignatt/streamatt
+    p.add_argument("--frame-num", type=int, default=1)
+    p.add_argument("--attn-layer", type=int, default=14)
+    p.add_argument("--text-preserve-num", type=int, default=40)
+    p.add_argument("--min-speech-duration", type=float, default=10.0)
+    p.add_argument("--max-speech-duration", type=float, default=28.8)
+    # eval harness
+    p.add_argument("--agent", type=str, default="infinisst",
+                   choices=["infinisst", "alignatt", "streamatt"])
+    p.add_argument("--source", type=str, required=True)
+    p.add_argument("--target", type=str, required=True)
+    p.add_argument("--output", type=str, default="eval_out")
+    p.add_argument("--source-segment-size", type=int, default=None)
+    p.add_argument("--eval-latency-unit", type=str, default="word")
+    p.add_argument("--sacrebleu-tokenizer", type=str, default="13a")
+    p.add_argument("--max-instances", type=int, default=None)
+    p.add_argument("--model-preset", type=str, default="flagship",
+                   choices=["flagship", "bench", "dryrun"])
+    p.add_argument("--dtype", type=str, default="bfloat16")
+
+
+def build_agent(args):
+    import jax.numpy as jnp
+
+    from infinisst_tpu.agents.alignatt import AlignAttAgent, AlignAttOptions
+    from infinisst_tpu.agents.infinisst import (
+        InfiniSSTAgent,
+        InfiniSSTOptions,
+    )
+    from infinisst_tpu.agents.streamatt import (
+        StreamAttAgent,
+        StreamAttOptions,
+    )
+    from infinisst_tpu.core.config import StreamConfig
+    from infinisst_tpu.core.presets import (
+        bench_1chip_config,
+        dryrun_config,
+        flagship_config,
+    )
+    from infinisst_tpu.data.template import (
+        HFTokenizerAdapter,
+        PromptBuilder,
+        StubTokenizer,
+    )
+    from infinisst_tpu.train.main import build_params
+
+    cfg = {
+        "flagship": flagship_config,
+        "bench": bench_1chip_config,
+        "dryrun": dryrun_config,
+    }[args.model_preset]()
+
+    tok_path = args.tokenizer_path or args.model_name
+    if tok_path:
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(tok_path, use_fast=False)
+        tok.pad_token = "<|finetune_right_pad_id|>"
+        tokenizer = HFTokenizerAdapter(tok)
+    else:
+        tokenizer = StubTokenizer(cfg.llama.vocab_size)
+    builder = PromptBuilder(
+        tokenizer, cfg.tokens, args.source_lang, args.target_lang,
+        llama31=(args.model_name is None or "3.1" in str(args.model_name)),
+    )
+
+    suppress = None
+    if args.suppress_non_language and tok_path:
+        # ref: agents/infinisst.py:142-148
+        bad = []
+        for idx in range(tokenizer.vocab_size):
+            d = tokenizer.decode([idx])
+            if "(" in d or "（" in d:
+                bad.append(idx)
+        import numpy as np
+
+        suppress = np.asarray(bad, np.int64)
+
+    stream = StreamConfig(
+        max_cache_frames=args.max_cache_size,
+        max_llm_cache_tokens=args.max_llm_cache_size,
+        llm_cache_capacity=max(1280, args.max_llm_cache_size + 280),
+        always_cache_system_prompt=args.always_cache_system_prompt,
+    )
+
+    class _A:  # adapter for build_params arg names
+        llm_path = args.model_name
+        w2v2_path = args.w2v2_path
+        sllm_weight_path = args.state_dict_path
+
+    params = build_params(_A, cfg)
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype]
+    import jax
+
+    params = jax.tree.map(lambda x: x.astype(dtype), params)
+
+    common = dict(
+        latency_multiplier=args.latency_multiplier,
+        max_latency_multiplier=args.max_latency_multiplier,
+        beam=args.beam,
+        no_repeat_ngram_size=args.no_repeat_ngram_size,
+        no_repeat_ngram_lookback=args.no_repeat_ngram_lookback,
+        repetition_penalty=args.repetition_penalty,
+        max_llm_cache_size=args.max_llm_cache_size,
+        always_cache_system_prompt=args.always_cache_system_prompt,
+        min_start_sec=args.min_start_sec,
+        source_lang=args.source_lang,
+        target_lang=args.target_lang,
+        suppress_tokens=suppress,
+    )
+    if args.agent == "infinisst":
+        return InfiniSSTAgent(
+            params, cfg, stream, builder, InfiniSSTOptions(**common),
+            param_dtype=dtype,
+        )
+    aa = dict(
+        common,
+        frame_num=args.frame_num,
+        attn_layer=args.attn_layer,
+        max_len_a=args.max_len_a,
+        max_len_b=args.max_len_b,
+        min_start_sec=max(args.min_start_sec, 0.32),
+    )
+    if args.agent == "alignatt":
+        return AlignAttAgent(
+            params, cfg, stream, builder, AlignAttOptions(**aa),
+            param_dtype=dtype,
+        )
+    return StreamAttAgent(
+        params, cfg, stream, builder,
+        StreamAttOptions(
+            **aa,
+            text_preserve_num=args.text_preserve_num,
+            min_speech_duration=args.min_speech_duration,
+            max_speech_duration=args.max_speech_duration,
+        ),
+        param_dtype=dtype,
+    )
+
+
+def main():
+    p = argparse.ArgumentParser()
+    add_args(p)
+    args = p.parse_args()
+
+    from infinisst_tpu.eval.runner import EvalArgs, run_streaming_eval
+
+    agent = build_agent(args)
+    seg = args.source_segment_size or 960 * args.latency_multiplier
+    scores = run_streaming_eval(
+        agent,
+        EvalArgs(
+            source=args.source,
+            target=args.target,
+            output=args.output,
+            source_segment_size=seg,
+            eval_latency_unit=args.eval_latency_unit,
+            sacrebleu_tokenizer=args.sacrebleu_tokenizer,
+            max_instances=args.max_instances,
+        ),
+    )
+    print(json.dumps(scores, indent=2))
+
+
+if __name__ == "__main__":
+    main()

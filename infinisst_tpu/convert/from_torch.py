@@ -1,0 +1,288 @@
+"""Checkpoint converters: fairseq wav2vec2 / HF Llama / reference
+``pytorch_model.bin`` -> JAX parameter pytrees.
+
+Required for parity evaluation of the published reference checkpoints
+(SURVEY.md §5.4): the release pipeline is
+  stage2 -> zero_to_fp32.py -> prune_bin.py -> pytorch_model.bin
+(ref: scripts/train/stage1.sh:100-101, train/zero_to_fp32.py), loaded by the
+agents together with the fairseq w2v2 .pt (agents/infinisst.py:150-180).
+
+All converters operate on {key: numpy array} mappings so they are testable
+without fairseq installed; ``load_torch_state`` handles reading the files
+(fairseq checkpoints carry OmegaConf config objects — a tolerant unpickler
+stubs unknown classes so the tensors load without fairseq).
+
+Weight orientation: torch Linear stores (out, in) -> ours (in, out);
+torch Conv1d stores (out, in, k) -> ours (k, in, out).
+"""
+
+from __future__ import annotations
+
+import io
+import pickle
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+Arrays = Dict[str, np.ndarray]
+
+
+# ---------------------------------------------------------------------------
+# Torch file loading without the original libraries
+
+
+def load_torch_state(path: str) -> Arrays:
+    """Load a torch checkpoint's tensors as numpy, tolerating missing
+    classes (fairseq/omegaconf) in the pickle."""
+    import torch
+
+    class _Stub:
+        def __init__(self, *a, **k):
+            pass
+
+        def __setstate__(self, state):
+            self.__dict__.update(state if isinstance(state, dict) else {})
+
+    class TolerantUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            try:
+                return super().find_class(module, name)
+            except (ImportError, AttributeError):
+                return _Stub
+
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        import torch.serialization as ts
+
+        with open(path, "rb") as f:
+            obj = torch.load(
+                f, map_location="cpu", weights_only=False,
+                pickle_module=type(
+                    "M", (), {"Unpickler": TolerantUnpickler, "load": pickle.load}
+                ),
+            )
+    # fairseq layout: {'model': state_dict, 'args'/'cfg': ...}
+    if isinstance(obj, dict) and "model" in obj and hasattr(
+        next(iter(obj["model"].values())), "numpy"
+    ):
+        obj = obj["model"]
+    return {
+        k: v.float().numpy()
+        for k, v in obj.items()
+        if hasattr(v, "numpy")
+    }
+
+
+def _lin(sd: Arrays, key: str) -> np.ndarray:
+    return sd[key].T  # (out,in) -> (in,out)
+
+
+def _conv(sd: Arrays, key: str) -> np.ndarray:
+    return sd[key].transpose(2, 1, 0)  # (out,in,k) -> (k,in,out)
+
+
+# ---------------------------------------------------------------------------
+# fairseq wav2vec2
+
+
+def convert_w2v2(sd: Arrays, cfg, prefix: str = "") -> Dict[str, Any]:
+    """fairseq Wav2Vec2Model state dict -> models.wav2vec2 param pytree.
+
+    Key layout per fairseq (vox/large, extractor_mode='layer_norm'):
+      feature_extractor.conv_layers.{i}.0.weight        conv
+      feature_extractor.conv_layers.{i}.2.1.{weight,bias}  per-layer LN
+      layer_norm.{weight,bias}             post-extractor LN
+      post_extract_proj.{weight,bias}
+      encoder.layers.{i}.self_attn.{q,k,v,out}_proj.{weight,bias}
+      encoder.layers.{i}.{self_attn_layer_norm,final_layer_norm}.{weight,bias}
+      encoder.layers.{i}.fc{1,2}.{weight,bias}
+      encoder.layer_norm.{weight,bias}     final LN (layer_norm_first)
+    """
+    p = prefix
+    conv = []
+    for i, lc in enumerate(cfg.conv_layers):
+        base = f"{p}feature_extractor.conv_layers.{i}"
+        conv.append(
+            {
+                "w": _conv(sd, f"{base}.0.weight"),
+                "ln_scale": sd[f"{base}.2.1.weight"],
+                "ln_bias": sd[f"{base}.2.1.bias"],
+            }
+        )
+    L = cfg.encoder_layers
+
+    def stack(fmt: str, transform: Callable = None):
+        mats = []
+        for i in range(L):
+            a = sd[fmt.format(i=i)]
+            mats.append(a.T if transform is _lin else a)
+        return np.stack(mats)
+
+    def stack_lin(fmt):
+        return np.stack([sd[fmt.format(i=i)].T for i in range(L)])
+
+    def stack_raw(fmt):
+        return np.stack([sd[fmt.format(i=i)] for i in range(L)])
+
+    e = f"{p}encoder.layers"
+    layers = {
+        "ln1_scale": stack_raw(e + ".{i}.self_attn_layer_norm.weight"),
+        "ln1_bias": stack_raw(e + ".{i}.self_attn_layer_norm.bias"),
+        "ln2_scale": stack_raw(e + ".{i}.final_layer_norm.weight"),
+        "ln2_bias": stack_raw(e + ".{i}.final_layer_norm.bias"),
+        "wq": stack_lin(e + ".{i}.self_attn.q_proj.weight"),
+        "wk": stack_lin(e + ".{i}.self_attn.k_proj.weight"),
+        "wv": stack_lin(e + ".{i}.self_attn.v_proj.weight"),
+        "wo": stack_lin(e + ".{i}.self_attn.out_proj.weight"),
+        "bq": stack_raw(e + ".{i}.self_attn.q_proj.bias"),
+        "bk": stack_raw(e + ".{i}.self_attn.k_proj.bias"),
+        "bv": stack_raw(e + ".{i}.self_attn.v_proj.bias"),
+        "bo": stack_raw(e + ".{i}.self_attn.out_proj.bias"),
+        "fc1_w": stack_lin(e + ".{i}.fc1.weight"),
+        "fc1_b": stack_raw(e + ".{i}.fc1.bias"),
+        "fc2_w": stack_lin(e + ".{i}.fc2.weight"),
+        "fc2_b": stack_raw(e + ".{i}.fc2.bias"),
+    }
+    return {
+        "conv": conv,
+        "post_ln": {
+            "scale": sd[f"{p}layer_norm.weight"],
+            "bias": sd[f"{p}layer_norm.bias"],
+        },
+        "post_proj": {
+            "w": _lin(sd, f"{p}post_extract_proj.weight"),
+            "b": sd[f"{p}post_extract_proj.bias"],
+        },
+        "layers": layers,
+        "final_ln": {
+            "scale": sd[f"{p}encoder.layer_norm.weight"],
+            "bias": sd[f"{p}encoder.layer_norm.bias"],
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# adapter (length_shrink + proj), reference naming
+
+
+def convert_adapter(sd: Arrays, cfg, prefix: str) -> Dict[str, Any]:
+    """{prefix}length_shrink.conv_layers.{i}... + {prefix}proj.*
+    (ref: model/speech_encoder.py:117-121)."""
+    conv = []
+    for i, _ in enumerate(cfg.conv_layers):
+        base = f"{prefix}length_shrink.conv_layers.{i}"
+        conv.append(
+            {
+                "w": _conv(sd, f"{base}.0.weight"),
+                "ln_scale": sd[f"{base}.2.1.weight"],
+                "ln_bias": sd[f"{base}.2.1.bias"],
+            }
+        )
+    return {
+        "conv": conv,
+        "proj": {
+            "w": _lin(sd, f"{prefix}proj.weight"),
+            "b": sd[f"{prefix}proj.bias"],
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# HF Llama
+
+
+def convert_llama(sd: Arrays, cfg, prefix: str = "") -> Dict[str, Any]:
+    """HF LlamaForCausalLM state dict -> models.llama param pytree.
+    prefix '' for a plain HF checkpoint ('model.layers...'), or 'model.'
+    already included by caller."""
+    p = prefix
+    L = cfg.num_layers
+
+    def stack_lin(fmt):
+        return np.stack([sd[fmt.format(i=i)].T for i in range(L)])
+
+    def stack_raw(fmt):
+        return np.stack([sd[fmt.format(i=i)] for i in range(L)])
+
+    b = f"{p}model.layers"
+    layers = {
+        "input_ln": stack_raw(b + ".{i}.input_layernorm.weight"),
+        "post_ln": stack_raw(b + ".{i}.post_attention_layernorm.weight"),
+        "wq": stack_lin(b + ".{i}.self_attn.q_proj.weight"),
+        "wk": stack_lin(b + ".{i}.self_attn.k_proj.weight"),
+        "wv": stack_lin(b + ".{i}.self_attn.v_proj.weight"),
+        "wo": stack_lin(b + ".{i}.self_attn.o_proj.weight"),
+        "w_gate": stack_lin(b + ".{i}.mlp.gate_proj.weight"),
+        "w_up": stack_lin(b + ".{i}.mlp.up_proj.weight"),
+        "w_down": stack_lin(b + ".{i}.mlp.down_proj.weight"),
+    }
+    embed = sd[f"{p}model.embed_tokens.weight"]
+    if f"{p}lm_head.weight" in sd:
+        head = _lin(sd, f"{p}lm_head.weight")
+    else:  # tied embeddings
+        head = embed.T
+    return {
+        "embed": embed,
+        "layers": layers,
+        "final_ln": sd[f"{p}model.norm.weight"],
+        "lm_head": head,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Reference release checkpoint (pruned pytorch_model.bin)
+
+
+def convert_reference_bin(sd: Arrays, model_cfg) -> Dict[str, Any]:
+    """The pruned stage-2 bin contains the SpeechLlamaForCausalLM state
+    dict: 'model.embed_tokens...', 'model.layers...', 'lm_head.weight',
+    plus the attached speech encoder under 'model.speech_encoder.'
+    (speech_encoder.speech_encoder.* = fairseq body,
+    speech_encoder.length_shrink / .proj = adapter;
+    ref: model/model.py:114-133, train/prune_bin.py)."""
+    return {
+        "w2v2": convert_w2v2(
+            sd, model_cfg.w2v2, prefix="model.speech_encoder.speech_encoder."
+        ),
+        "adapter": convert_adapter(
+            sd, model_cfg.adapter, prefix="model.speech_encoder."
+        ),
+        "llama": convert_llama(sd, model_cfg.llama, prefix=""),
+    }
+
+
+def to_jax(tree, dtype=None):
+    import jax.numpy as jnp
+
+    def leaf(x):
+        a = jnp.asarray(x)
+        return a.astype(dtype) if dtype is not None else a
+
+    import jax
+
+    return jax.tree.map(leaf, tree)
+
+
+# ---------------------------------------------------------------------------
+# Export back to torch naming (for interop / checkpoint publication)
+
+
+def export_llama(params, cfg) -> Arrays:
+    out: Arrays = {}
+    out["model.embed_tokens.weight"] = np.asarray(params["embed"])
+    ly = params["layers"]
+    for i in range(cfg.num_layers):
+        b = f"model.layers.{i}"
+        out[f"{b}.input_layernorm.weight"] = np.asarray(ly["input_ln"][i])
+        out[f"{b}.post_attention_layernorm.weight"] = np.asarray(ly["post_ln"][i])
+        out[f"{b}.self_attn.q_proj.weight"] = np.asarray(ly["wq"][i]).T
+        out[f"{b}.self_attn.k_proj.weight"] = np.asarray(ly["wk"][i]).T
+        out[f"{b}.self_attn.v_proj.weight"] = np.asarray(ly["wv"][i]).T
+        out[f"{b}.self_attn.o_proj.weight"] = np.asarray(ly["wo"][i]).T
+        out[f"{b}.mlp.gate_proj.weight"] = np.asarray(ly["w_gate"][i]).T
+        out[f"{b}.mlp.up_proj.weight"] = np.asarray(ly["w_up"][i]).T
+        out[f"{b}.mlp.down_proj.weight"] = np.asarray(ly["w_down"][i]).T
+    out["model.norm.weight"] = np.asarray(params["final_ln"])
+    out["lm_head.weight"] = np.asarray(params["lm_head"]).T
+    return out

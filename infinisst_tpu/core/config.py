@@ -139,6 +139,7 @@ class SpecialTokens:
     """
 
     bos: int = 128000  # <|begin_of_text|>
+    end_of_text: int = 128001  # <|end_of_text|>
     eot: int = 128009  # <|eot_id|>
     eos: int = 128009
     start_header: int = 128006  # <|start_header_id|>

@@ -52,6 +52,7 @@ class BeamResult(NamedTuple):
     score: jnp.ndarray  # scalar f32
     steps: jnp.ndarray  # scalar int32: loop steps executed
     hit_eos: jnp.ndarray  # scalar bool: winner ended with EOS
+    attn_idx: jnp.ndarray  # (max_new,) per-token attn argmax (attn_probe)
 
 
 def beam_search(
@@ -66,8 +67,18 @@ def beam_search(
     spec: BeamSpec,
     encoder_ngram_size: int = 0,
     suppress_mask: Optional[jnp.ndarray] = None,  # (V,) bool
+    max_steps: Optional[jnp.ndarray] = None,  # traced cap <= max_new_tokens
+    attn_probe: Optional[tuple] = None,  # (layer, span_start, span_end)
+    first_attn_idx: Optional[jnp.ndarray] = None,  # scalar: probe at prefill
 ) -> BeamResult:
-    """Run beam search for one chunk.  Static shapes throughout."""
+    """Run beam search for one chunk.  Static shapes throughout.
+
+    ``max_steps`` caps generation length without recompiling (the AlignAtt
+    agent's dynamic max_new_tokens, ref: agents/alignatt.py:109,128).
+    ``attn_probe`` records, per generated token, the argmax attention index
+    over [span_start, span_end) at the given layer (averaged over heads) —
+    the AlignAtt policy signal (ref: agents/alignatt.py:150-167).  The
+    winning beam's trace is returned in BeamResult.attn_idx."""
     B = spec.beam
     G = spec.max_new_tokens
     V = first_logits.shape[-1]
@@ -93,6 +104,13 @@ def beam_search(
     fin_tokens0 = jnp.full((B, G), spec.pad_id, jnp.int32)
     fin_len0 = jnp.zeros((B,), jnp.int32)
     fin_scores0 = jnp.full((B,), NEG_INF, jnp.float32)
+
+    attn_hist0 = jnp.full((B, G), -1, jnp.int32)
+    fin_attn0 = jnp.full((B, G), -1, jnp.int32)
+    if max_steps is None:
+        max_steps = jnp.asarray(G, jnp.int32)
+    if first_attn_idx is None:
+        first_attn_idx = jnp.asarray(-1, jnp.int32)
 
     def process_scores(scores, seq_buf, seq_len, hist, hist_len):
         scores = lp.repetition_penalty(
@@ -131,15 +149,18 @@ def beam_search(
             t,
             done,
             logits_cur,
+            attn_cur,
             beam_scores,
             seq_buf,
             seq_len,
             gen_tokens,
+            attn_hist,
             gen_k,
             gen_v,
             fin_tokens,
             fin_len,
             fin_scores,
+            fin_attn,
         ) = state
 
         scores = jax.nn.log_softmax(logits_cur.astype(jnp.float32), axis=-1)
@@ -160,7 +181,7 @@ def beam_search(
         hyp_score = cand_vals / jnp.maximum(hyp_len, 1.0) ** spec.length_penalty
 
         def add_hyp(i, carry):
-            ft, fl, fs = carry
+            ft, fl, fs, fa = carry
             worst = jnp.argmin(fs)
             better = hyp_score[i] > fs[worst]
             use = eos_ok[i] & better
@@ -169,10 +190,11 @@ def beam_search(
             ft = jnp.where(use, ft.at[worst].set(toks), ft)
             fl = jnp.where(use, fl.at[worst].set(t), fl)
             fs = jnp.where(use, fs.at[worst].set(hyp_score[i]), fs)
-            return ft, fl, fs
+            fa = jnp.where(use, fa.at[worst].set(attn_hist[cand_beam[i]]), fa)
+            return ft, fl, fs, fa
 
-        fin_tokens, fin_len, fin_scores = lax.fori_loop(
-            0, 2 * B, add_hyp, (fin_tokens, fin_len, fin_scores)
+        fin_tokens, fin_len, fin_scores, fin_attn = lax.fori_loop(
+            0, 2 * B, add_hyp, (fin_tokens, fin_len, fin_scores, fin_attn)
         )
 
         # --- pick next live beams: first B non-EOS candidates
@@ -190,11 +212,13 @@ def beam_search(
         seq_buf = seq_buf[src_beam]
         seq_len = seq_len[src_beam]
         gen_tokens = gen_tokens[src_beam]
+        attn_hist = attn_hist[src_beam]
         gen_k = gen_k[:, src_beam]
         gen_v = gen_v[:, src_beam]
 
-        # append token
+        # append token + the attention index that produced it
         gen_tokens = gen_tokens.at[:, t].set(new_tok)
+        attn_hist = attn_hist.at[:, t].set(attn_cur[src_beam])
         seq_buf = jax.vmap(lambda b, l, tok: b.at[l].set(tok))(
             seq_buf, seq_len, new_tok
         )
@@ -212,29 +236,33 @@ def beam_search(
         )
         done_now = (
             (t_next >= G)
+            | (t_next >= max_steps)
             | ((n_fin >= B) & (worst_fin >= best_possible))
         )
 
         # --- forward the next token for all beams (the final iteration's
         # forward is unused; one wasted step keeps the loop shape static)
         x = llama_mod.embed(params, new_tok[:, None])
-        logits_next, gen_k, gen_v = llama_mod.beam_token_step(
-            params, cfg, prefix, gen_k, gen_v, t, x
+        logits_next, gen_k, gen_v, attn_next = llama_mod.beam_token_step(
+            params, cfg, prefix, gen_k, gen_v, t, x, attn_probe=attn_probe
         )
 
         return (
             t_next,
             done_now,
             logits_next,
+            attn_next,
             new_beam_scores,
             seq_buf,
             seq_len,
             gen_tokens,
+            attn_hist,
             gen_k,
             gen_v,
             fin_tokens,
             fin_len,
             fin_scores,
+            fin_attn,
         )
 
     def cond_fn(state):
@@ -245,30 +273,37 @@ def beam_search(
         jnp.array(0, jnp.int32),
         jnp.array(False),
         jnp.tile(first_logits[None], (B, 1)),
+        jnp.tile(first_attn_idx[None], (B,)) if attn_probe is not None
+        else jnp.full((B,), -1, jnp.int32),
         beam_scores0,
         seq_buf0,
         seq_len0,
         gen_tokens0,
+        attn_hist0,
         gen_k0,
         gen_v0,
         fin_tokens0,
         fin_len0,
         fin_scores0,
+        fin_attn0,
     )
     final = lax.while_loop(cond_fn, step_fn, init)
     (
         t,
         _done,
         _logits,
+        _attn,
         beam_scores,
         _seq_buf,
         _seq_len,
         gen_tokens,
+        attn_hist,
         _gk,
         _gv,
         fin_tokens,
         fin_len,
         fin_scores,
+        fin_attn,
     ) = final
 
     # finalize: if no finished hypothesis, take best live beam (HF finalize
@@ -284,7 +319,8 @@ def beam_search(
     tokens = jnp.where(use_fin, fin_tokens[best_fin], gen_tokens[best_live])
     n_tokens = jnp.where(use_fin, fin_len[best_fin], t)
     score = jnp.where(use_fin, fin_scores[best_fin], live_score[best_live])
+    attn_idx = jnp.where(use_fin, fin_attn[best_fin], attn_hist[best_live])
     return BeamResult(
         tokens=tokens, n_tokens=n_tokens, score=score, steps=t,
-        hit_eos=use_fin,
+        hit_eos=use_fin, attn_idx=attn_idx,
     )

@@ -1,0 +1,119 @@
+"""Latency metrics for simultaneous translation.
+
+Implements (Length-Adaptive) Average Lagging and its computation-aware
+variant as scored by SimulEval on the reference's outputs
+(BASELINE.md; ref: scripts/infer/infinisst.sh --quality-metrics/
+--eval-latency-unit), plus the StreamLAAL resegmentation wrapper for
+unbounded streams (one delay per reference segment via monotonic alignment
+of the hypothesis stream to reference segment lengths).
+
+Delays are recorded per emitted target unit (word for non-zh, char for zh):
+``d_i`` = milliseconds of source audio consumed when the unit was emitted;
+computation-aware delays add wall-clock compute time.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Sequence
+
+
+@dataclass
+class Emission:
+    """One WriteAction: text + source-consumed ms (+ CA ms)."""
+
+    text: str
+    delay_ms: float
+    ca_delay_ms: float
+
+
+@dataclass
+class InstanceLog:
+    emissions: List[Emission] = field(default_factory=list)
+    source_duration_ms: float = 0.0
+
+    def units(self, unit: str = "word"):
+        out = []
+        for e in self.emissions:
+            toks = list(e.text) if unit == "char" else e.text.split()
+            out.extend((t, e.delay_ms, e.ca_delay_ms) for t in toks)
+        return out
+
+
+def average_lagging(
+    delays: Sequence[float],
+    source_ms: float,
+    n_ref_units: int,
+    length_adaptive: bool = True,
+) -> float:
+    """AL / LAAL over one instance.
+
+    AL  = 1/tau * sum_i (d_i - (i-1) * T/|Y*|)
+    LAAL uses max(|Y|, |Y*|) in the denominator (length-adaptive), which
+    avoids rewarding over-generation.
+    tau = first index with d_i >= T (all source consumed), inclusive.
+    """
+    n = len(delays)
+    if n == 0:
+        return 0.0
+    denom_len = max(n, n_ref_units) if length_adaptive else n_ref_units
+    denom_len = max(denom_len, 1)
+    gamma = source_ms / denom_len
+    tau = n
+    for i, d in enumerate(delays):
+        if d >= source_ms:
+            tau = i + 1
+            break
+    s = 0.0
+    for i in range(tau):
+        s += delays[i] - i * gamma
+    return s / tau
+
+
+def stream_laal(
+    log: InstanceLog,
+    ref_segments: Sequence[str],
+    unit: str = "word",
+    computation_aware: bool = False,
+) -> float:
+    """StreamLAAL: resegment the continuous hypothesis stream against the
+    reference segments by unit counts (proportional monotonic split), then
+    average LAAL over segments.  This mirrors the StreamAtt/StreamLAAL
+    protocol of scoring long-form streams segment by segment."""
+    units = log.units(unit)
+    if not units:
+        return 0.0
+    ref_lens = [
+        max(1, len(list(r)) if unit == "char" else len(r.split()))
+        for r in ref_segments
+    ]
+    total_ref = sum(ref_lens)
+    n = len(units)
+    # proportional split of the hypothesis stream across reference segments
+    bounds = []
+    acc = 0
+    for rl in ref_lens:
+        acc += rl
+        bounds.append(round(n * acc / total_ref))
+    seg_ms = log.source_duration_ms / max(len(ref_segments), 1)
+    scores = []
+    start = 0
+    for seg_idx, end in enumerate(bounds):
+        seg_units = units[start:end]
+        if seg_units:
+            # delays relative to this segment's start time in the stream
+            t0 = seg_idx * seg_ms
+            delays = [
+                (u[2] if computation_aware else u[1]) - t0 for u in seg_units
+            ]
+            scores.append(
+                average_lagging(delays, seg_ms, ref_lens[seg_idx])
+            )
+        start = end
+    return float(sum(scores) / len(scores)) if scores else 0.0
+
+
+def rtf(total_compute_s: float, source_duration_s: float) -> float:
+    """Real-time factor: compute seconds per second of audio
+    (ref measures with synchronized_timer, agents/infinisst.py:37-48)."""
+    return total_compute_s / max(source_duration_s, 1e-9)

@@ -72,6 +72,7 @@ def decode_step(
     state: DecoderState,
     x_embed: jnp.ndarray,  # (B, S, D) input embeddings (speech already spliced)
     valid_mask: Optional[jnp.ndarray] = None,  # (B, S) 1 = real token
+    attn_probe: Optional[Tuple[int, int, int]] = None,
 ) -> Tuple[jnp.ndarray, DecoderState]:
     """Forward S new positions against the cache; append their K/V.
 
@@ -142,6 +143,12 @@ def decode_step(
         )
         logits = logits * scale + bias.astype(jnp.float32)[:, 0][:, None, None]
         w = jax.nn.softmax(logits, axis=-1).astype(vt.dtype)
+        if attn_probe is not None:
+            _, a0, a1 = attn_probe
+            span = w.astype(jnp.float32).mean(axis=(1, 2))[:, :, a0:a1]
+            probe = jnp.argmax(span, axis=-1).astype(jnp.int32)  # (B, S)
+        else:
+            probe = jnp.zeros((B, S), jnp.int32)
         attn = jnp.einsum("bkgst,bktd->bkgsd", w, vt)
         attn = jnp.transpose(attn.reshape(B, H, S, Dh), (0, 2, 1, 3))
         h = h + attn.reshape(B, S, H * Dh) @ lp["wo"]
@@ -149,13 +156,15 @@ def decode_step(
         y = _rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
         y = jax.nn.silu(y @ lp["w_gate"]) * (y @ lp["w_up"])
         h = h + y @ lp["w_down"]
-        return h, (k_new, v_new)
+        return h, (k_new, v_new, probe)
 
-    h, new_kv = lax.scan(
+    h, scanned = lax.scan(
         lambda carry, per: body(carry, per),
         x_embed,
         (params["layers"], state.k, state.v),
     )
+    new_kv = (scanned[0], scanned[1])
+    probes = scanned[2]
     h = _rms_norm(h, params["final_ln"], cfg.rms_norm_eps)
     logits = h @ params["lm_head"]
 
@@ -181,6 +190,9 @@ def decode_step(
         v=append(state.v, new_kv[1]),
         valid_len=vlen + n_append,
     )
+    if attn_probe is not None:
+        layer = attn_probe[0] % probes.shape[0]
+        return logits, new_state, probes[layer]
     return logits, new_state
 
 
@@ -259,9 +271,13 @@ def beam_token_step(
     gen_v: jnp.ndarray,
     gen_len: jnp.ndarray,  # scalar int32: tokens generated so far (same for all beams)
     x_embed: jnp.ndarray,  # (beam, 1, D) embeddings of the last tokens
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    attn_probe: Optional[Tuple[int, int, int]] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decode step for all beams.  Returns (logits (beam, V), new gen_k,
-    new gen_v) with this step's K/V written at slot ``gen_len``."""
+    new gen_v, attn_idx (beam,)) with this step's K/V written at slot
+    ``gen_len``.  attn_probe=(layer, span_start, span_end) records the
+    argmax head-averaged attention over the span (AlignAtt signal,
+    ref: agents/alignatt.py:150-167); -1 when disabled."""
     beam, S, D = x_embed.shape
     assert S == 1
     C = prefix.k.shape[2]
@@ -314,22 +330,33 @@ def beam_token_step(
         )
         logits = logits * scale + bias
         w = jax.nn.softmax(logits, axis=-1).astype(vt.dtype)
+        if attn_probe is not None:
+            _, a0, a1 = attn_probe
+            span = w.astype(jnp.float32).mean(axis=(1, 2))[:, 0, a0:a1]
+            probe = jnp.argmax(span, axis=-1).astype(jnp.int32)  # (beam,)
+        else:
+            probe = jnp.full((beam,), -1, jnp.int32)
         attn = jnp.einsum("bkgst,bktd->bkgsd", w, vt)
         attn = jnp.transpose(attn.reshape(beam, H, 1, Dh), (0, 2, 1, 3))
         h = h + attn.reshape(beam, 1, H * Dh) @ lp["wo"]
         y = _rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
         y = jax.nn.silu(y @ lp["w_gate"]) * (y @ lp["w_up"])
         h = h + y @ lp["w_down"]
-        return h, (gk, gv)
+        return h, (gk, gv, probe)
 
-    h, (new_gk, new_gv) = lax.scan(
+    h, (new_gk, new_gv, probes) = lax.scan(
         lambda carry, per: body(carry, per),
         x_embed,
         (params["layers"], prefix.k, prefix.v, gen_k, gen_v),
     )
     h = _rms_norm(h, params["final_ln"], cfg.rms_norm_eps)
     logits = (h @ params["lm_head"])[:, 0]  # (beam, V)
-    return logits, new_gk, new_gv
+    if attn_probe is not None:
+        layer = attn_probe[0] % probes.shape[0]
+        attn_idx = probes[layer]
+    else:
+        attn_idx = probes[0]
+    return logits, new_gk, new_gv, attn_idx
 
 
 # ---------------------------------------------------------------------------

@@ -1,10 +1,14 @@
 """Test configuration: force CPU with 8 virtual devices so multi-chip
-sharding tests run anywhere (the JAX analogue of a fake backend; SURVEY.md §4).
-Must run before jax is imported anywhere."""
+sharding tests run anywhere (the JAX analogue of a fake backend;
+SURVEY.md §4).
+
+Note: a pytest plugin in this environment imports jax before conftest runs,
+so env vars (JAX_PLATFORMS / XLA_FLAGS) are too late — we use
+jax.config.update, which works any time before backend initialisation."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,4 +17,6 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,63 @@
+"""AlignAtt / StreamAtt agent smoke tests on the tiny model."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from infinisst_tpu.agents.alignatt import AlignAttAgent, AlignAttOptions
+from infinisst_tpu.agents.streamatt import StreamAttAgent, StreamAttOptions
+from infinisst_tpu.core.config import StreamConfig
+from infinisst_tpu.data.template import PromptBuilder, StubTokenizer
+
+from tests.test_agent import CFG, small_special_tokens, tiny_params
+
+
+def _mk(agent_cls, opts_cls, **opt_kw):
+    cfg = CFG.replace(tokens=small_special_tokens())
+    stream = StreamConfig(max_cache_frames=96, llm_cache_capacity=256)
+    builder = PromptBuilder(StubTokenizer(512, lo=10, hi=400), cfg.tokens)
+    opts = opts_cls(
+        latency_multiplier=1,
+        beam=2,
+        attn_layer=1,
+        frame_num=1,
+        length_bucket_chunks=2,
+        decode_buf_tokens=16,
+        no_repeat_ngram_lookback=16,
+        **opt_kw,
+    )
+    return agent_cls(
+        tiny_params(), cfg, stream, builder, opts, param_dtype=jnp.float32
+    )
+
+
+@pytest.mark.slow
+def test_alignatt_stream():
+    agent = _mk(AlignAttAgent, AlignAttOptions)
+    rng = np.random.RandomState(0)
+    chunk = 15360
+    for i in range(3):
+        act = agent.push(
+            rng.randn(chunk).astype(np.float32) * 0.1, finished=(i == 2)
+        )
+        assert act is not None
+    assert not act.is_read() and act.finished
+    # most-attended bookkeeping exists for streamatt
+    assert isinstance(agent.states.most_attended_indices, list)
+
+
+@pytest.mark.slow
+def test_streamatt_prunes_history():
+    agent = _mk(
+        StreamAttAgent,
+        StreamAttOptions,
+        text_preserve_num=2,
+        min_speech_duration=0.5,
+        max_speech_duration=1.5,
+    )
+    rng = np.random.RandomState(1)
+    chunk = 15360
+    for i in range(4):
+        act = agent.push(rng.randn(chunk).astype(np.float32) * 0.1)
+    # history pruning keeps audio bounded by max_speech_duration
+    assert len(agent.states.source) <= int(1.5 * 16000)

@@ -1,0 +1,183 @@
+"""Data layer tests: audio IO, sampler packing, collators, templates,
+latency metrics, preprocess helpers."""
+
+import os
+
+import numpy as np
+import pytest
+
+from infinisst_tpu.core.config import SpecialTokens, tiny_model_config
+from infinisst_tpu.data import audio as audio_mod
+from infinisst_tpu.data.collators import (
+    COLLATORS,
+    OfflineCollator,
+    TrajectoryMultiLatencyCollator,
+    perturb_trajectory,
+)
+from infinisst_tpu.data.dataset import SpeechToTextItem
+from infinisst_tpu.data.sampler import SpeechSampler
+from infinisst_tpu.data.template import (
+    IGNORE_INDEX,
+    PromptBuilder,
+    StubTokenizer,
+    build_trajectory_prompt,
+)
+from infinisst_tpu.eval.latency import (
+    Emission,
+    InstanceLog,
+    average_lagging,
+    stream_laal,
+)
+from infinisst_tpu.tools.preprocess.utils import word_error_rate
+
+CFG = tiny_model_config()
+TOKENS = SpecialTokens(
+    bos=500, eot=501, eos=501, start_header=502, end_header=503, pad=504,
+    user=505, assistant=506, newline2=507, sp_patch=508, sp_start=509,
+    sp_end=510, latency=(511, 511, 511, 511), end_of_text=499,
+)
+MCFG = CFG.replace(tokens=TOKENS)
+BUILDER = PromptBuilder(StubTokenizer(512, lo=10, hi=400), TOKENS)
+
+
+def test_wav_roundtrip(tmp_path):
+    data = np.sin(np.linspace(0, 100, 16000)).astype(np.float32) * 0.5
+    p = str(tmp_path / "a.wav")
+    audio_mod.write_wav(p, data)
+    back, sr = audio_mod.read_wav(p)
+    assert sr == 16000
+    np.testing.assert_allclose(back, data, atol=1e-3)
+    # sliced read
+    part, _ = audio_mod.get_waveform(f"{p}:100:200")
+    np.testing.assert_allclose(part, back[100:300], atol=1e-6)
+
+
+def test_wer():
+    assert word_error_rate("a b c", "a b c") == 0.0
+    assert word_error_rate("a x c", "a b c") == pytest.approx(1 / 3)
+    assert word_error_rate("", "a b") == 1.0
+
+
+class FakeDS:
+    def __init__(self, n):
+        self.n_frames = [16000 * (i % 5 + 1) for i in range(n)]
+        self.tgt_texts = ["word " * (i % 7 + 1) for i in range(n)]
+
+    def __len__(self):
+        return len(self.n_frames)
+
+
+def test_sampler_packing():
+    ds = FakeDS(50)
+    s = SpeechSampler(
+        ds, shuffle=False, batch_size=400, batch_size_sent=4, min_ms=0,
+        tokenizer=lambda t: t.split(),
+    )
+    seen = set()
+    for batch in s:
+        assert 1 <= len(batch) <= 4
+        seen.update(batch)
+    assert seen == set(range(50))
+    # rank-strided split covers disjoint batches
+    s0 = SpeechSampler(
+        ds, shuffle=False, batch_size=400, batch_size_sent=4,
+        tokenizer=lambda t: t.split(), rank=0, num_replicas=2,
+    )
+    s1 = SpeechSampler(
+        ds, shuffle=False, batch_size=400, batch_size_sent=4,
+        tokenizer=lambda t: t.split(), rank=1, num_replicas=2,
+    )
+    b0, b1 = list(s0), list(s1)
+    assert len(b0) + len(b1) == len(s0.batch_indices)
+
+
+def _items(n=2, n_units=2):
+    items = []
+    for i in range(n):
+        src = np.random.RandomState(i).randn(
+            n_units * 15360 - (320 if i else 0)
+        ).astype(np.float32)
+        items.append(
+            SpeechToTextItem(
+                id=f"utt{i}",
+                index=i,
+                source=src,
+                target="hello world out there",
+                src_text="hallo welt da draussen",
+                trajectory=["hello world", "out there"],
+            )
+        )
+    return items
+
+
+def test_trajectory_prompt_labels():
+    ids, labels = build_trajectory_prompt(
+        BUILDER, [["hello world", True], ["out there", False]], 24, 1
+    )
+    assert (ids == TOKENS.sp_patch).sum() == 24
+    # labels: only the first (keep=True) assistant span + its eot supervised
+    sup = labels != IGNORE_INDEX
+    assert sup.sum() == len(BUILDER.tokenizer.encode("hello world")) + 1
+    # supervised positions carry the same ids
+    np.testing.assert_array_equal(labels[sup], ids[sup])
+
+
+@pytest.mark.parametrize("variant", [0, 1, 2, 3, 4])
+def test_collators(variant):
+    coll = COLLATORS[variant](BUILDER, MCFG, block_size=48)
+    batch = coll(_items())
+    B, S = batch["input_ids"].shape
+    assert batch["speech"].shape[0] == B
+    assert batch["labels"].shape == (B, S)
+    assert batch["patch_mask"].sum() > 0
+    assert (batch["labels"][~batch["attention_mask"].astype(bool)] ==
+            IGNORE_INDEX).all()
+    # patches match sp_patch positions
+    np.testing.assert_array_equal(
+        batch["patch_mask"], batch["input_ids"] == TOKENS.sp_patch
+    )
+    if variant == 0:
+        assert "text_input_ids" in batch
+    if variant == 4:
+        assert 1 <= batch["multiplier"] <= 4
+
+
+def test_multilatency_patch_counts():
+    coll = TrajectoryMultiLatencyCollator(
+        BUILDER, MCFG, block_size=48, max_multiplier=2, seed=1
+    )
+    batch = coll(_items(n=1, n_units=2))
+    m = batch["multiplier"]
+    n_patches = int(batch["patch_mask"][0].sum())
+    # speech token count must equal patch count for unpadded row
+    fl = int(batch["frame_lengths"][0])
+    assert n_patches == fl // 4
+
+
+def test_perturb_preserves_text():
+    rng = np.random.RandomState(0)
+    traj = [["a b", True], ["c", True], ["d e f", True]]
+    out = perturb_trajectory(
+        [list(x) for x in traj], rng, cut=lambda s: s.split()
+    )
+    # total characters preserved (modulo spaces within segments)
+    orig = "".join(seg for seg, _ in traj)
+    new = "".join(seg for seg, _ in out)
+    assert sorted(orig.replace(" ", "")) == sorted(new.replace(" ", ""))
+
+
+def test_average_lagging():
+    # instant emission -> lagging equals delays offset
+    al = average_lagging([100, 200, 300], 300, 3)
+    assert al == pytest.approx(((100 - 0) + (200 - 100) + (300 - 200)) / 3)
+
+
+def test_stream_laal_runs():
+    log = InstanceLog(source_duration_ms=2000)
+    log.emissions = [
+        Emission("hello world", 900, 1000),
+        Emission("again", 1900, 2100),
+    ]
+    v = stream_laal(log, ["hello world", "again"], "word")
+    v_ca = stream_laal(log, ["hello world", "again"], "word", True)
+    assert np.isfinite(v) and np.isfinite(v_ca) and v_ca >= v
