@@ -28,6 +28,17 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the big fused chunk graph compiles once per
+    # machine; later runs (and the driver's bench) reuse it.
+    import os
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     from infinisst_tpu.agents.infinisst import InfiniSSTAgent, InfiniSSTOptions
     from infinisst_tpu.core.config import StreamConfig
     from infinisst_tpu.core.presets import bench_1chip_config
@@ -56,6 +67,7 @@ def main():
         max_llm_cache_size=stream.max_llm_cache_tokens,
     )
     agent = InfiniSSTAgent(params, cfg, stream, builder, opts, param_dtype=dtype)
+    print("agent ready; first chunk will compile...", file=sys.stderr, flush=True)
 
     rng = np.random.RandomState(0)
     chunk = agent.chunk_samples
@@ -69,9 +81,9 @@ def main():
         agent.push(audio, finished=False)
         jax.block_until_ready(agent.dec_state.k)
         dt = time.perf_counter() - t0
+        print(f"chunk {i}: {dt:.2f}s", file=sys.stderr, flush=True)
         if i >= warmup:
             times.append(dt)
-            tokens_out += 0  # counted below from target_ids delta
     n_tok = len(agent.states.target_ids)
 
     rtf = float(np.mean(times)) / chunk_sec

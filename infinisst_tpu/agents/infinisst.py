@@ -4,25 +4,25 @@ fixed-shape encode/decode steps.
 Mirrors the reference agent's behaviour (agents/infinisst.py:270-395) with a
 TPU-native execution model:
 
-- the host keeps a rolling raw-sample window, the transcript, and the
-  chunk-boundary bookkeeping (``cache_checkpoints``);
-- per chunk, ONE jitted call runs: encoder chunk step -> adapter -> speech
-  splice -> LLM prefill -> beam search -> winning-beam commit;
-- LLM cache eviction (chunk-granular, pinned system prompt — LLM-Inf) is a
-  second jitted call issued only when the cache exceeds the limit
+- the host keeps only the transcript and chunk-boundary bookkeeping
+  (``cache_checkpoints``); everything touched per chunk — the rolling raw-
+  sample window, the n-gram history buffer, both KV caches — lives on
+  device and is threaded through ONE fused jitted call per chunk
+  (encoder chunk step -> adapter -> speech splice -> LLM prefill -> beam
+  search -> winning-beam commit -> history update);
+- per chunk the host uploads just the new audio (int16) and downloads one
+  packed int32 vector [n_committed, hit_eos, n_emit, tokens...] — critical
+  when the device link has high per-transfer latency;
+- LLM cache eviction (chunk-granular, pinned system prompt — LLM-Inf) is
+  dispatched asynchronously, never synchronised on
   (ref: agents/infinisst.py:340-361);
 - the compiled-shape set is closed: {first,later} x {full chunk, tail
   sizes} per multiplier; nothing recompiles as the stream grows.
-
-Host <-> device traffic per chunk: audio window up, (tokens, n_tokens,
-hit_eos) down.
 """
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
-from functools import partial
 from time import perf_counter
 from typing import Dict, Optional
 
@@ -38,7 +38,6 @@ from infinisst_tpu.agents.base import (
 )
 from infinisst_tpu.core.config import (
     CONV_LEFT_CONTEXT,
-    SAMPLES_PER_FRAME,
     ModelConfig,
     StreamConfig,
 )
@@ -72,6 +71,8 @@ class InfiniSSTOptions:
     target_lang: str = "German"
     suppress_tokens: Optional[np.ndarray] = None  # ids to ban
     rtf_timing: bool = False  # print per-chunk wall time
+    dpo_sampling: bool = False  # dump per-chunk translations for DPO
+    output_file: str = "translations.json"
 
 
 class InfiniSSTAgent(SpeechToTextAgent):
@@ -92,12 +93,14 @@ class InfiniSSTAgent(SpeechToTextAgent):
         self.dtype = param_dtype
         self.tokenizer = builder.tokenizer
 
-        m = opts.latency_multiplier
-        self.chunk_samples = stream_cfg.chunk_samples(m)
-        self.chunk_frames = stream_cfg.chunk_frames(m)
         self.unit_samples = stream_cfg.chunk_samples(1)  # 960 ms padding unit
-        self.window_samples = CONV_LEFT_CONTEXT + 2 * self.chunk_samples
-        self.max_new = stream_cfg.max_new_tokens(m)
+        # the device window is sized for the max multiplier so that
+        # update_multiplier (ref: agents/infinisst.py:125-128) never needs
+        # to reshape device state
+        self.window_samples = CONV_LEFT_CONTEXT + 2 * stream_cfg.chunk_samples(
+            opts.max_latency_multiplier
+        )
+        self._set_multiplier_geometry(opts.latency_multiplier)
 
         V = model_cfg.llama.vocab_size
         sup = np.zeros((V,), bool)
@@ -106,9 +109,22 @@ class InfiniSSTAgent(SpeechToTextAgent):
         self._suppress = jnp.asarray(sup)
 
         self._gen_fns: Dict = {}  # (n_units, first) -> jitted generate_chunk
-        self._evict_fn = jax.jit(llama_mod.evict_cache)
+        self._evict_fn = jax.jit(llama_mod.evict_cache, donate_argnums=(0,))
         super().__init__()
         self._init_device_state()
+
+    def _set_multiplier_geometry(self, m: int):
+        self.opts.latency_multiplier = m
+        self.chunk_samples = self.stream.chunk_samples(m)
+        self.chunk_frames = self.stream.chunk_frames(m)
+        self.max_new = self.stream.max_new_tokens(m)
+
+    def update_multiplier(self, multiplier: int):
+        """Change the latency multiplier mid-stream
+        (ref: agents/infinisst.py:125-128).  Device state is shape-stable;
+        only the per-m compiled step changes."""
+        assert 1 <= multiplier <= self.opts.max_latency_multiplier
+        self._set_multiplier_geometry(multiplier)
 
     # -- state -------------------------------------------------------------
     def _init_device_state(self):
@@ -130,7 +146,11 @@ class InfiniSSTAgent(SpeechToTextAgent):
             ll.head_dim,
             self.dtype,
         )
-        self.window = np.zeros((self.window_samples,), np.float32)
+        # device-resident rolling window + n-gram history
+        self.window = jnp.zeros((1, self.window_samples), jnp.float32)
+        Lh = self.opts.no_repeat_ngram_lookback
+        self.hist = jnp.full((Lh,), self.cfg.tokens.pad, jnp.int32)
+        self.hist_len = jnp.zeros((), jnp.int32)
         self.cache_checkpoints = []  # token counts at chunk ends (host mirror)
         self.llm_cache_len = 0  # host mirror of dec_state.valid_len
         self.system_prompt_size = 0
@@ -147,15 +167,16 @@ class InfiniSSTAgent(SpeechToTextAgent):
     def _generate_chunk_fn(self, n_units: int, first: bool):
         """Build + cache the fused jitted step for a chunk of ``n_units``
         960 ms units (n_units == m except for the stream tail)."""
-        key = (n_units, first)
+        m = self.opts.latency_multiplier
+        key = (m, n_units, first)
         if key in self._gen_fns:
             return self._gen_fns[key]
-
-        m = self.opts.latency_multiplier
         prompt = self.builder.chunk_prompt(m, first, n_patches=12 * n_units)
         prompt_ids = jnp.asarray(prompt.ids)[None]
         patch_start = prompt.patch_start
         chunk_frames = 48 * n_units
+        chunk_samples = n_units * self.unit_samples
+        full_m_samples = self.chunk_samples
         spec = beam_mod.BeamSpec(
             beam=self.opts.beam,
             max_new_tokens=self.max_new,
@@ -168,14 +189,34 @@ class InfiniSSTAgent(SpeechToTextAgent):
         stream = self.stream
         enc_ng = self.opts.no_repeat_ngram_size
         suppress = self._suppress
+        G = self.max_new
+        Lh = self.opts.no_repeat_ngram_lookback
+        is_tail = n_units != m
 
         @jax.jit
-        def generate_chunk(params, enc_state, dec_state, window, hist, hist_len):
+        def generate_chunk(params, enc_state, dec_state, window, hist,
+                           hist_len, chunk_i16):
+            # roll the device window; tail chunks use the last
+            # (left_context + prev_chunk) of the window + the short tail
+            new = chunk_i16.astype(jnp.float32)[None, :] / 32768.0
+            window = jnp.concatenate(
+                [window[:, chunk_samples:], new], axis=1
+            )
+            if not is_tail:
+                # conv input: left context + previous chunk + this chunk
+                conv_in = window[:, -(CONV_LEFT_CONTEXT + 2 * chunk_samples):]
+            else:
+                # short tail: left context + one full-m chunk of history +
+                # the tail
+                conv_in = window[
+                    :, -(CONV_LEFT_CONTEXT + full_m_samples + chunk_samples):
+                ]
+
             logits, st = speech_llm.prefill_chunk(
                 params,
                 cfg,
                 speech_llm.StreamState(enc_state, dec_state),
-                window,
+                conv_in,
                 prompt_ids,
                 patch_start,
                 chunk_frames,
@@ -201,7 +242,31 @@ class InfiniSSTAgent(SpeechToTextAgent):
                 res.tokens[None],
                 res.n_tokens[None],
             )
-            return res, st.encoder, dec
+            # emitted tokens: drop the final one when the cap was hit
+            # without EOS (ref quirk: sequences[..., :-1], infinisst.py:363)
+            n_emit = jnp.where(
+                res.hit_eos, res.n_tokens, jnp.maximum(res.n_tokens - 1, 0)
+            )
+            # device-side history ring update (last Lh emitted tokens):
+            # append the new tokens at hist_len, keep the trailing Lh window
+            cat = jnp.concatenate([hist, jnp.full((G,), cfg.tokens.pad, hist.dtype)])
+            cat = jax.lax.dynamic_update_slice(cat, res.tokens, (hist_len,))
+            new_len = jnp.minimum(hist_len + n_emit, Lh)
+            start = hist_len + n_emit - new_len
+            new_hist = jax.lax.dynamic_slice(cat, (start,), (Lh,))
+            # mask garbage beyond new_len
+            new_hist = jnp.where(
+                jnp.arange(Lh) < new_len, new_hist, cfg.tokens.pad
+            )
+            packed = jnp.concatenate(
+                [
+                    res.n_tokens[None],
+                    res.hit_eos.astype(jnp.int32)[None],
+                    n_emit[None],
+                    res.tokens,
+                ]
+            )
+            return packed, st.encoder, dec, window, new_hist, new_len
 
         self._gen_fns[key] = (generate_chunk, prompt)
         return self._gen_fns[key]
@@ -258,8 +323,22 @@ class InfiniSSTAgent(SpeechToTextAgent):
 
         translation = " ".join(translation_parts).strip().replace("�", "")
         if opts.rtf_timing:
-            jax.block_until_ready(self.dec_state.k)
             print(f"generate: {perf_counter() - t0:.4f} seconds")
+
+        if opts.dpo_sampling:
+            # ref: agents/infinisst.py:369-381
+            states.translations_list.append(
+                f"'{translation}'" if translation else "''"
+            )
+            if states.source_finished:
+                try:
+                    with open(opts.output_file, "a", encoding="utf-8") as f:
+                        f.write(
+                            "[" + ", ".join(states.translations_list) + "]\n"
+                        )
+                    states.translations_list = []
+                except OSError as e:
+                    print(f"Error writing translations to file: {e}")
 
         states.segment_idx += 1
         if translation != "" or states.source_finished:
@@ -270,41 +349,35 @@ class InfiniSSTAgent(SpeechToTextAgent):
         opts = self.opts
         m = opts.latency_multiplier
 
-        # rolling window update (host)
-        if n_units == m:
-            self.window = np.concatenate([self.window[len(seg) :], seg])
-            window = self.window
-        else:  # tail: previous context + short tail
-            keep = CONV_LEFT_CONTEXT + self.chunk_samples
-            window = np.concatenate([self.window[-keep:], seg])
-            self.window = np.concatenate(
-                [self.window[len(seg) :], seg]
-            )  # keep rolling (unused afterwards)
-
         first = self.first_chunk
         if first:
             self.system_prompt_size = self.builder.system_prompt_size(m)
         fn, prompt = self._generate_chunk_fn(n_units, first)
 
-        lookback = opts.no_repeat_ngram_lookback
-        hist = np.full((lookback,), self.cfg.tokens.pad, np.int32)
-        tail = states.target_ids[-lookback:]
-        hist[: len(tail)] = tail
-        res, self.enc_state, self.dec_state = fn(
+        # int16 upload halves link bytes; sources are 16-bit PCM so this is
+        # lossless for real audio
+        chunk_i16 = np.clip(seg * 32768.0, -32768, 32767).astype(np.int16)
+        (
+            packed,
+            self.enc_state,
+            self.dec_state,
+            self.window,
+            self.hist,
+            self.hist_len,
+        ) = fn(
             self.params,
             self.enc_state,
             self.dec_state,
-            jnp.asarray(window)[None],
-            jnp.asarray(hist),
-            jnp.asarray(len(tail), jnp.int32),
+            self.window,
+            self.hist,
+            self.hist_len,
+            jnp.asarray(chunk_i16),
         )
-        n_tok = int(res.n_tokens)
-        hit_eos = bool(res.hit_eos)
-        out_ids = np.asarray(res.tokens[:n_tok]).tolist()
-        if not hit_eos and n_tok > 0:
-            # the reference drops the final token when generation stops at
-            # the cap without EOS (sequences[..., :-1], infinisst.py:363)
-            out_ids = out_ids[:-1]
+        # the ONLY host sync per chunk:
+        packed = np.asarray(packed)
+        n_tok = int(packed[0])
+        n_emit = int(packed[2])
+        out_ids = packed[3 : 3 + n_emit].tolist()
 
         self.first_chunk = False
         states.target_ids.extend(out_ids)
@@ -330,6 +403,7 @@ class InfiniSSTAgent(SpeechToTextAgent):
                 if opts.always_cache_system_prompt
                 else 0
             )
+            # async dispatch; never synchronised on
             self.dec_state = self._evict_fn(
                 self.dec_state,
                 jnp.asarray([new_len], jnp.int32),

@@ -375,15 +375,17 @@ def evict_cache(
     cache axis (ref semantics: agents/infinisst.py:340-361).
     """
     C = state.k.shape[2]
-    sys_len = jnp.asarray(sys_len, jnp.int32)
     vlen = state.valid_len
+    sys_len = jnp.broadcast_to(
+        jnp.asarray(sys_len, jnp.int32), vlen.shape
+    )
     idx = jax.vmap(
-        lambda v, k: jnp.where(
-            jnp.arange(C) < sys_len,
+        lambda v, k, s: jnp.where(
+            jnp.arange(C) < s,
             jnp.arange(C),
-            jnp.clip(jnp.arange(C) + (v - k) - sys_len, 0, C - 1),
+            jnp.clip(jnp.arange(C) + (v - k) - s, 0, C - 1),
         )
-    )(vlen, keep_len)  # (B, C)
+    )(vlen, keep_len, sys_len)  # (B, C)
 
     def gather(buf):  # (L,B,C,KV,Dh)
         return jnp.take_along_axis(buf, idx[None, :, :, None, None], axis=2)

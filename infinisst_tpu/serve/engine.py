@@ -1,0 +1,362 @@
+"""Batched multi-client streaming engine.
+
+The reference serves one stream per GPU (batch 1, SURVEY.md §2
+"inference parallelism: none"; its separate serving demo used flashinfer
+paged attention and is not in the release branch).  Here multi-client
+serving is native: a fixed pool of stream slots shares one set of batched
+jitted step functions —
+
+- per tick, every slot with a full pending chunk is encoded+prefilled in
+  one batched call (slots are padded with dummy rows up to the pool size,
+  so the compiled-shape set stays {pool_size} x {first/later});
+- decode is batched greedy (beam search stays available on the single-
+  stream agent path);
+- per-slot KV validity/eviction uses the same left-aligned cache + gather
+  machinery as the single-stream agent.
+
+All slots must share a latency multiplier (chunk cadence); run several
+engines for mixed-m serving.  Language pair is per-slot (the system prompt
+differs per slot, which the batched prefill handles with padded prompts).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from infinisst_tpu.core.config import (
+    CONV_LEFT_CONTEXT,
+    ModelConfig,
+    StreamConfig,
+)
+from infinisst_tpu.data.template import PromptBuilder
+from infinisst_tpu.decode import logits as lp
+from infinisst_tpu.models import llama as llama_mod
+from infinisst_tpu.models import speech_llm
+from infinisst_tpu.streaming.state import (
+    init_decoder_state,
+    init_encoder_state,
+)
+
+
+@dataclass
+class StreamSlot:
+    active: bool = False
+    client_id: Optional[str] = None
+    lang_pair: tuple = ("English", "German")
+    pending: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, np.float32)
+    )
+    window: Optional[np.ndarray] = None
+    first_chunk: bool = True
+    finished_input: bool = False
+    done: bool = False
+    target_ids: List[int] = field(default_factory=list)
+    cache_len: int = 0
+    cache_checkpoints: List[int] = field(default_factory=list)
+    system_prompt_size: int = 0
+
+
+class ServingEngine:
+    def __init__(
+        self,
+        params,
+        cfg: ModelConfig,
+        stream_cfg: StreamConfig,
+        builders: Dict[tuple, PromptBuilder],  # (src,tgt) -> builder
+        pool_size: int = 8,
+        multiplier: int = 1,
+        max_new_tokens: Optional[int] = None,
+        dtype=jnp.bfloat16,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.stream = stream_cfg
+        self.builders = builders
+        self.pool = pool_size
+        self.m = multiplier
+        self.max_new = max_new_tokens or stream_cfg.max_new_tokens(multiplier)
+        self.dtype = dtype
+
+        self.chunk_samples = stream_cfg.chunk_samples(multiplier)
+        self.chunk_frames = stream_cfg.chunk_frames(multiplier)
+        self.window_samples = CONV_LEFT_CONTEXT + 2 * self.chunk_samples
+
+        w, ll = cfg.w2v2, cfg.llama
+        self.enc_state = init_encoder_state(
+            w.encoder_layers, pool_size, stream_cfg.max_cache_frames,
+            w.encoder_attention_heads, w.head_dim, dtype,
+        )
+        self.dec_state = init_decoder_state(
+            ll.num_layers, pool_size, stream_cfg.llm_cache_capacity,
+            ll.num_kv_heads, ll.head_dim, dtype,
+        )
+        self.slots = [StreamSlot() for _ in range(pool_size)]
+
+        # prompt layouts are identical across languages except for the
+        # system text; patch offsets depend only on (first, m)
+        # fixed prompt width: the longest first-chunk prompt across
+        # languages, rounded up — one compiled step shape for the pool
+        smax = max(
+            len(b.chunk_prompt(multiplier, first=True).ids)
+            for b in builders.values()
+        )
+        self._S = int(np.ceil(smax / 16) * 16)
+        self._step_fn = self._build_step()
+        self._evict_fn = jax.jit(self._evict_impl)
+
+    # -- slot management -----------------------------------------------------
+    def open_stream(self, client_id: str, lang_pair=("English", "German")):
+        for i, s in enumerate(self.slots):
+            if not s.active:
+                self.slots[i] = StreamSlot(
+                    active=True,
+                    client_id=client_id,
+                    lang_pair=lang_pair,
+                    window=np.zeros(self.window_samples, np.float32),
+                )
+                self._reset_slot_state(i)
+                return i
+        raise RuntimeError("no free slots")
+
+    def close_stream(self, slot: int):
+        self.slots[slot] = StreamSlot()
+        self._reset_slot_state(slot)
+
+    def _reset_slot_state(self, i: int):
+        z = lambda a: a.at[:, i].set(0)  # noqa: E731
+        self.enc_state = self.enc_state._replace(
+            k=z(self.enc_state.k),
+            v=z(self.enc_state.v),
+            n_frames=self.enc_state.n_frames.at[i].set(0),
+        )
+        self.dec_state = self.dec_state._replace(
+            k=z(self.dec_state.k),
+            v=z(self.dec_state.v),
+            valid_len=self.dec_state.valid_len.at[i].set(0),
+        )
+
+    def push_audio(self, slot: int, samples: np.ndarray, finished=False):
+        s = self.slots[slot]
+        s.pending = np.concatenate([s.pending, samples.astype(np.float32)])
+        s.finished_input = s.finished_input or finished
+
+    # -- batched step ---------------------------------------------------------
+    def _build_step(self):
+        cfg = self.cfg
+        stream = self.stream
+        chunk_frames = self.chunk_frames
+        max_new = self.max_new
+        eos = cfg.tokens.eos
+
+        def step(params, enc, dec, windows, ids, valid_mask, patch_starts,
+                 row_active, hist, hist_len):
+            # encode all rows (inactive rows carry zeros; harmless)
+            speech, enc2 = speech_llm.encode_chunk(
+                params, cfg, enc, windows, chunk_frames,
+                stream.max_cache_frames,
+            )
+            emb = llama_mod.embed(params["llama"], ids)
+            # splice per-row patch offsets
+            B, S, D = emb.shape
+            P = speech.shape[1]
+            pos = jnp.arange(S)[None, :]
+            in_patch = (pos >= patch_starts[:, None]) & (
+                pos < patch_starts[:, None] + P
+            )
+            rank = jnp.clip(pos - patch_starts[:, None], 0, P - 1)
+            sp = jnp.take_along_axis(speech, rank[:, :, None], axis=1)
+            emb = jnp.where(in_patch[:, :, None], sp.astype(emb.dtype), emb)
+
+            logits, dec2 = llama_mod.decode_step(
+                params["llama"], cfg.llama, dec, emb, valid_mask=valid_mask
+            )
+            prompt_lens = valid_mask.sum(-1)
+            last = jnp.take_along_axis(
+                logits, (prompt_lens - 1)[:, None, None], axis=1
+            )[:, 0]  # (B, V)
+
+            # batched greedy decode with per-row eos stop + ngram guards
+            Tbuf = ids.shape[1] + max_new
+
+            def body(carry, _):
+                dec_c, cur_logits, toks, n_tok, donef, seqbuf, seqlen = carry
+                scores = jax.nn.log_softmax(
+                    cur_logits.astype(jnp.float32), -1
+                )
+                scores = lp.repetition_penalty(
+                    scores, seqbuf,
+                    jnp.arange(Tbuf)[None] < seqlen[:, None], 1.2,
+                )
+                scores = lp.no_repeat_ngram(
+                    scores, seqbuf, seqlen, stream.no_repeat_ngram_size
+                )
+                scores = lp.encoder_no_repeat_ngram(
+                    scores, hist, hist_len, seqbuf, seqlen,
+                    stream.no_repeat_ngram_size,
+                )
+                nxt = jnp.argmax(scores, -1).astype(jnp.int32)
+                is_eos = nxt == eos
+                emit = (~donef) & (~is_eos) & row_active
+                toks = jnp.where(
+                    emit[:, None],
+                    toks.at[jnp.arange(toks.shape[0]), n_tok].set(nxt),
+                    toks,
+                )
+                seqbuf = jnp.where(
+                    emit[:, None],
+                    jax.vmap(lambda b, l, t: b.at[l].set(t))(seqbuf, seqlen, nxt),
+                    seqbuf,
+                )
+                seqlen = seqlen + emit
+                n_tok = n_tok + emit
+                donef = donef | is_eos | (~row_active)
+                x = llama_mod.embed(params["llama"], nxt[:, None])
+                lg, dec_c = llama_mod.decode_step(
+                    params["llama"], cfg.llama, dec_c, x,
+                    valid_mask=emit[:, None].astype(jnp.int32),
+                )
+                return (dec_c, lg[:, 0], toks, n_tok, donef, seqbuf, seqlen), None
+
+            B = ids.shape[0]
+            toks0 = jnp.full((B, max_new), cfg.tokens.pad, jnp.int32)
+            seqbuf0 = jnp.concatenate(
+                [ids, jnp.full((B, max_new), cfg.tokens.pad, ids.dtype)], 1
+            )
+            init = (
+                dec2, last, toks0, jnp.zeros((B,), jnp.int32),
+                jnp.zeros((B,), bool), seqbuf0, prompt_lens.astype(jnp.int32),
+            )
+            (dec3, _, toks, n_tok, _, _, _), _ = jax.lax.scan(
+                body, init, None, length=max_new
+            )
+            return enc2, dec3, toks, n_tok
+
+        return jax.jit(step, donate_argnums=(1, 2))
+
+    def _evict_impl(self, dec, keep_len, sys_len):
+        return llama_mod.evict_cache(dec, keep_len, sys_len)
+
+    def tick(self) -> Dict[int, str]:
+        """Process one chunk for every slot with enough pending audio.
+        Returns {slot: text} for slots that produced output."""
+        ready = []
+        for i, s in enumerate(self.slots):
+            if not s.active or s.done:
+                continue
+            if len(s.pending) >= self.chunk_samples or (
+                s.finished_input and len(s.pending) > 0
+            ):
+                ready.append(i)
+        if not ready:
+            return {}
+
+        B = self.pool
+        windows = np.zeros((B, self.window_samples), np.float32)
+        patch_starts = np.zeros((B,), np.int32)
+        row_active = np.zeros((B,), bool)
+        hist = np.full(
+            (B, self.stream.no_repeat_ngram_lookback),
+            self.cfg.tokens.pad, np.int32,
+        )
+        hist_len = np.zeros((B,), np.int32)
+
+        prompts = []
+        for i in ready:
+            s = self.slots[i]
+            seg = s.pending[: self.chunk_samples]
+            if len(seg) < self.chunk_samples:
+                seg = np.concatenate(
+                    [seg, np.zeros(self.chunk_samples - len(seg), np.float32)]
+                )
+            s.pending = s.pending[self.chunk_samples :]
+            s.window = np.concatenate([s.window[len(seg) :], seg])
+            windows[i] = s.window
+            builder = self.builders[s.lang_pair]
+            pr = builder.chunk_prompt(self.m, first=s.first_chunk)
+            if s.first_chunk:
+                s.system_prompt_size = builder.system_prompt_size(self.m)
+            prompts.append((i, pr))
+            row_active[i] = True
+            tail = s.target_ids[-self.stream.no_repeat_ngram_lookback :]
+            hist[i, : len(tail)] = tail
+            hist_len[i] = len(tail)
+
+        S = self._S
+        ids = np.full((B, S), self.cfg.tokens.pad, np.int32)
+        valid = np.zeros((B, S), np.int32)
+        for i, pr in prompts:
+            ids[i, : len(pr.ids)] = pr.ids
+            valid[i, : len(pr.ids)] = 1
+            patch_starts[i] = pr.patch_start
+
+        enc2, dec2, toks, n_tok = self._step_fn(
+            self.params, self.enc_state, self.dec_state,
+            jnp.asarray(windows), jnp.asarray(ids), jnp.asarray(valid),
+            jnp.asarray(patch_starts), jnp.asarray(row_active),
+            jnp.asarray(hist), jnp.asarray(hist_len),
+        )
+        self.enc_state, self.dec_state = enc2, dec2
+        toks = np.asarray(toks)
+        n_tok = np.asarray(n_tok)
+
+        out: Dict[int, str] = {}
+        for i, pr in prompts:
+            s = self.slots[i]
+            n = int(n_tok[i])
+            new_ids = toks[i, :n].tolist()
+            s.target_ids.extend(new_ids)
+            s.cache_len += len(pr.ids) + n
+            s.cache_checkpoints.append(s.cache_len)
+            s.first_chunk = False
+            if s.finished_input and len(s.pending) == 0:
+                s.done = True
+            builder = self.builders[s.lang_pair]
+            text = builder.tokenizer.decode(
+                new_ids, skip_special_tokens=True
+            ).strip().replace("�", "")
+            if text or s.done:
+                out[i] = text
+            self._maybe_evict(i)
+        return out
+
+    def _maybe_evict(self, i: int):
+        s = self.slots[i]
+        if s.cache_len <= self.stream.max_llm_cache_tokens:
+            return
+        new_len = s.cache_len
+        for j, ckpt in enumerate(s.cache_checkpoints):
+            new_len = s.cache_len - ckpt
+            if new_len <= self.stream.max_llm_cache_tokens:
+                s.cache_checkpoints = s.cache_checkpoints[j + 1 :]
+                trimmed = ckpt
+                if self.stream.always_cache_system_prompt:
+                    trimmed -= s.system_prompt_size
+                s.cache_checkpoints = [
+                    c - trimmed for c in s.cache_checkpoints
+                ]
+                break
+        sys_len = (
+            s.system_prompt_size
+            if self.stream.always_cache_system_prompt
+            else 0
+        )
+        # evict only this row: batched gather with per-row keep (other rows
+        # keep their full valid_len)
+        keep = np.asarray(jax.device_get(self.dec_state.valid_len))
+        keep_len = keep.copy()
+        keep_len[i] = new_len
+        sys_lens = np.zeros_like(keep_len)
+        sys_lens[i] = sys_len
+        # evict_cache keeps [0:sys] + tail(keep); for untouched rows use
+        # sys=0 and keep=valid_len (identity)
+        self.dec_state = self._evict_fn(
+            self.dec_state,
+            jnp.asarray(keep_len, jnp.int32),
+            jnp.asarray(sys_lens, jnp.int32),
+        )
+        s.cache_len = new_len + sys_len

@@ -1,0 +1,173 @@
+"""Multi-client streaming translation server (newline-delimited JSON over
+TCP; the websocket-demo equivalent of the reference's serving path).
+
+Protocol (one JSON object per line):
+  client -> server:
+    {"type": "open", "source_lang": "English", "target_lang": "German"}
+    {"type": "audio", "pcm": [float...], "finished": false}
+    {"type": "close"}
+  server -> client:
+    {"type": "opened", "slot": N}
+    {"type": "text", "content": "...", "final": false}
+    {"type": "error", "message": "..."}
+
+The engine tick loop runs in a background task at the chunk cadence; all
+clients share one batched jitted step (serve/engine.py).
+
+Run:  python -m infinisst_tpu.serve.server --port 8765 [--model-preset ...]
+Test client: infinisst_tpu/serve/client.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+
+import numpy as np
+
+
+class StreamingServer:
+    def __init__(self, engine, tick_interval: float = 0.1):
+        self.engine = engine
+        self.tick_interval = tick_interval
+        self.slot_writers = {}
+
+    async def tick_loop(self):
+        loop = asyncio.get_event_loop()
+        while True:
+            out = await loop.run_in_executor(None, self.engine.tick)
+            for slot, text in out.items():
+                writer = self.slot_writers.get(slot)
+                s = self.engine.slots[slot]
+                if writer is not None:
+                    msg = {
+                        "type": "text",
+                        "content": text,
+                        "final": s.done,
+                    }
+                    writer.write((json.dumps(msg) + "\n").encode())
+                    try:
+                        await writer.drain()
+                    except ConnectionError:
+                        pass
+                if s.done:
+                    self.engine.close_stream(slot)
+                    self.slot_writers.pop(slot, None)
+            await asyncio.sleep(self.tick_interval)
+
+    async def handle(self, reader, writer):
+        slot = None
+        try:
+            while True:
+                line = await reader.readline()
+                if not line:
+                    break
+                msg = json.loads(line)
+                if msg["type"] == "open":
+                    pair = (
+                        msg.get("source_lang", "English"),
+                        msg.get("target_lang", "German"),
+                    )
+                    slot = self.engine.open_stream(
+                        str(writer.get_extra_info("peername")), pair
+                    )
+                    self.slot_writers[slot] = writer
+                    writer.write(
+                        (json.dumps({"type": "opened", "slot": slot}) + "\n")
+                        .encode()
+                    )
+                    await writer.drain()
+                elif msg["type"] == "audio" and slot is not None:
+                    self.engine.push_audio(
+                        slot,
+                        np.asarray(msg["pcm"], np.float32),
+                        finished=msg.get("finished", False),
+                    )
+                elif msg["type"] == "close":
+                    break
+        except (json.JSONDecodeError, KeyError) as e:
+            writer.write(
+                (json.dumps({"type": "error", "message": str(e)}) + "\n")
+                .encode()
+            )
+        finally:
+            if slot is not None and slot in self.slot_writers:
+                self.engine.close_stream(slot)
+                self.slot_writers.pop(slot, None)
+            writer.close()
+
+    async def run(self, host: str, port: int):
+        server = await asyncio.start_server(self.handle, host, port)
+        tick = asyncio.create_task(self.tick_loop())
+        async with server:
+            await server.serve_forever()
+
+
+def main():  # pragma: no cover - network entrypoint
+    p = argparse.ArgumentParser()
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8765)
+    p.add_argument("--pool-size", type=int, default=8)
+    p.add_argument("--multiplier", type=int, default=1)
+    p.add_argument("--model-preset", default="bench")
+    p.add_argument("--state-dict-path", default=None)
+    p.add_argument("--tokenizer-path", default=None)
+    p.add_argument(
+        "--lang-pairs",
+        default="English-German,English-Spanish,English-Chinese",
+    )
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from infinisst_tpu.core.config import StreamConfig
+    from infinisst_tpu.core.presets import (
+        bench_1chip_config,
+        dryrun_config,
+        flagship_config,
+    )
+    from infinisst_tpu.data.template import (
+        HFTokenizerAdapter,
+        PromptBuilder,
+        StubTokenizer,
+    )
+    from infinisst_tpu.serve.engine import ServingEngine
+    from infinisst_tpu.train.main import build_params
+
+    cfg = {
+        "flagship": flagship_config,
+        "bench": bench_1chip_config,
+        "dryrun": dryrun_config,
+    }[args.model_preset]()
+    if args.tokenizer_path:
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(args.tokenizer_path, use_fast=False)
+        tok.pad_token = "<|finetune_right_pad_id|>"
+        tokenizer = HFTokenizerAdapter(tok)
+    else:
+        tokenizer = StubTokenizer(cfg.llama.vocab_size)
+
+    builders = {}
+    for pair in args.lang_pairs.split(","):
+        src, tgt = pair.split("-")
+        builders[(src, tgt)] = PromptBuilder(tokenizer, cfg.tokens, src, tgt)
+
+    class _A:
+        llm_path = None
+        w2v2_path = None
+        sllm_weight_path = args.state_dict_path
+
+    params = build_params(_A, cfg)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    engine = ServingEngine(
+        params, cfg, StreamConfig(), builders,
+        pool_size=args.pool_size, multiplier=args.multiplier,
+    )
+    asyncio.run(StreamingServer(engine).run(args.host, args.port))
+
+
+if __name__ == "__main__":
+    main()
