@@ -49,7 +49,11 @@ def main():
 
     multiplier = int(sys.argv[sys.argv.index("--multiplier") + 1]) if "--multiplier" in sys.argv else 1
     n_chunks = int(sys.argv[sys.argv.index("--chunks") + 1]) if "--chunks" in sys.argv else 12
+    mode = sys.argv[sys.argv.index("--mode") + 1] if "--mode" in sys.argv else "stream"
     warmup = 3
+
+    if mode == "serve":
+        return bench_serve(multiplier, n_chunks)
 
     cfg = bench_1chip_config()
     dtype = jnp.bfloat16
@@ -101,6 +105,77 @@ def main():
         f"p50={np.percentile(times,50)*1e3:.1f}ms "
         f"p90={np.percentile(times,90)*1e3:.1f}ms tokens={n_tok} "
         f"platform={jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+
+
+def bench_serve(multiplier: int, n_chunks: int, pool: int = 8):
+    """Batched multi-client throughput: N concurrent streams through the
+    serving engine; reports decode tokens/sec/chip and per-stream RTF."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        __import__("os").path.join(
+            __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+            ".jax_cache",
+        ),
+    )
+
+    from infinisst_tpu.core.config import StreamConfig
+    from infinisst_tpu.core.presets import bench_1chip_config
+    from infinisst_tpu.data.template import PromptBuilder, StubTokenizer
+    from infinisst_tpu.models import adapter as A
+    from infinisst_tpu.models import llama as L
+    from infinisst_tpu.models import wav2vec2 as W
+    from infinisst_tpu.serve.engine import ServingEngine
+
+    cfg = bench_1chip_config()
+    dtype = jnp.bfloat16
+    k = jax.random.PRNGKey(0)
+    params = {
+        "w2v2": W.init_params(jax.random.fold_in(k, 0), cfg.w2v2, dtype),
+        "adapter": A.init_params(jax.random.fold_in(k, 1), cfg.adapter, dtype),
+        "llama": L.init_params(jax.random.fold_in(k, 2), cfg.llama, dtype),
+    }
+    tok = StubTokenizer(cfg.llama.vocab_size)
+    builders = {("English", "German"): PromptBuilder(tok, cfg.tokens)}
+    eng = ServingEngine(
+        params, cfg, StreamConfig(), builders, pool_size=pool,
+        multiplier=multiplier, dtype=dtype,
+    )
+    rng = np.random.RandomState(0)
+    slots = [eng.open_stream(f"c{i}") for i in range(pool)]
+    chunk = eng.chunk_samples
+
+    # warm up one tick
+    for s_ in slots:
+        eng.push_audio(s_, rng.randn(chunk).astype(np.float32) * 0.1)
+    eng.tick()
+
+    n_tok0 = sum(len(eng.slots[s_].target_ids) for s_ in slots)
+    t0 = time.perf_counter()
+    for i in range(n_chunks):
+        for s_ in slots:
+            eng.push_audio(s_, rng.randn(chunk).astype(np.float32) * 0.1)
+        eng.tick()
+    jax.block_until_ready(eng.dec_state.k)
+    wall = time.perf_counter() - t0
+    n_tok = sum(len(eng.slots[s_].target_ids) for s_ in slots) - n_tok0
+    audio_s = n_chunks * chunk / 16000.0  # per stream
+    result = {
+        "metric": f"serve_decode_tok_per_s_pool{pool}_m{multiplier}_1chip",
+        "value": round(n_tok / wall, 2),
+        "unit": "tok/s/chip",
+        "vs_baseline": round((n_tok / wall) / 30.0, 3),  # target >=30 tok/s/chip
+    }
+    print(json.dumps(result))
+    print(
+        f"pool={pool} chunks={n_chunks} wall={wall:.2f}s tokens={n_tok} "
+        f"per-stream RTF={wall/audio_s:.3f}",
         file=sys.stderr,
     )
 
