@@ -146,13 +146,23 @@ class InfiniSSTAgent(SpeechToTextAgent):
             ll.head_dim,
             self.dtype,
         )
-        # device-resident rolling window + n-gram history
+        # device-resident rolling window + n-gram history + deferred-commit
+        # pending tokens (the previous chunk's winning tokens, folded into
+        # the next chunk's prefill to save one weight stream per chunk)
         self.window = jnp.zeros((1, self.window_samples), jnp.float32)
         Lh = self.opts.no_repeat_ngram_lookback
         self.hist = jnp.full((Lh,), self.cfg.tokens.pad, jnp.int32)
         self.hist_len = jnp.zeros((), jnp.int32)
+        self.pend_cap = self.stream.max_new_tokens(
+            self.opts.max_latency_multiplier
+        )
+        self.pend_tokens = jnp.full(
+            (self.pend_cap,), self.cfg.tokens.pad, jnp.int32
+        )
+        self.pend_n = jnp.zeros((), jnp.int32)
         self.cache_checkpoints = []  # token counts at chunk ends (host mirror)
-        self.llm_cache_len = 0  # host mirror of dec_state.valid_len
+        self.llm_cache_len = 0  # host mirror (logical: physical + pending)
+        self.pend_n_host = 0
         self.system_prompt_size = 0
         self.first_chunk = True
 
@@ -193,9 +203,10 @@ class InfiniSSTAgent(SpeechToTextAgent):
         Lh = self.opts.no_repeat_ngram_lookback
         is_tail = n_units != m
 
-        @jax.jit
+        P = self.pend_cap
+
         def generate_chunk(params, enc_state, dec_state, window, hist,
-                           hist_len, chunk_i16):
+                           hist_len, pend_tokens, pend_n, chunk_i16):
             # roll the device window; tail chunks use the last
             # (left_context + prev_chunk) of the window + the short tail
             new = chunk_i16.astype(jnp.float32)[None, :] / 32768.0
@@ -212,21 +223,36 @@ class InfiniSSTAgent(SpeechToTextAgent):
                     :, -(CONV_LEFT_CONTEXT + full_m_samples + chunk_samples):
                 ]
 
-            logits, st = speech_llm.prefill_chunk(
-                params,
-                cfg,
-                speech_llm.StreamState(enc_state, dec_state),
-                conv_in,
-                prompt_ids,
-                patch_start,
-                chunk_frames,
+            # deferred commit: prefill [prev winning tokens | chunk prompt]
+            # in ONE pass (one weight stream instead of two; the cache ends
+            # up identical to commit-then-prefill since order is preserved)
+            speech, enc2 = speech_llm.encode_chunk(
+                params, cfg, enc_state, conv_in, chunk_frames,
                 stream.max_cache_frames,
+            )
+            prompt_emb = speech_llm.splice_speech(
+                params, prompt_ids, speech, patch_start
+            )  # (1, S, D)
+            S = prompt_emb.shape[1]
+            D = prompt_emb.shape[2]
+            pend_emb = llama_mod.embed(params["llama"], pend_tokens[None])
+            buf = jnp.zeros((1, P + S, D), prompt_emb.dtype)
+            buf = jax.lax.dynamic_update_slice(buf, pend_emb, (0, 0, 0))
+            buf = jax.lax.dynamic_update_slice(buf, prompt_emb, (0, pend_n, 0))
+            valid = (
+                jnp.arange(P + S)[None] < (pend_n + S)
+            ).astype(jnp.int32)
+            logits, dec2 = llama_mod.decode_step(
+                params["llama"], cfg.llama, dec_state, buf, valid_mask=valid
+            )
+            last_logits = jax.lax.dynamic_index_in_dim(
+                logits[0], pend_n + S - 1, axis=0, keepdims=False
             )
             res = beam_mod.beam_search(
                 params["llama"],
                 cfg.llama,
-                st.decoder,
-                logits[0, -1],
+                dec2,
+                last_logits,
                 prompt_ids[0],
                 jnp.asarray(prompt_ids.shape[1], jnp.int32),
                 hist,
@@ -235,13 +261,9 @@ class InfiniSSTAgent(SpeechToTextAgent):
                 encoder_ngram_size=enc_ng,
                 suppress_mask=suppress,
             )
-            dec = speech_llm.commit_tokens(
-                params,
-                cfg,
-                st.decoder,
-                res.tokens[None],
-                res.n_tokens[None],
-            )
+            # new pending = this chunk's winning tokens (committed next call)
+            pend_out = jnp.full((P,), cfg.tokens.pad, jnp.int32)
+            pend_out = jax.lax.dynamic_update_slice(pend_out, res.tokens, (0,))
             # emitted tokens: drop the final one when the cap was hit
             # without EOS (ref quirk: sequences[..., :-1], infinisst.py:363)
             n_emit = jnp.where(
@@ -266,9 +288,13 @@ class InfiniSSTAgent(SpeechToTextAgent):
                     res.tokens,
                 ]
             )
-            return packed, st.encoder, dec, window, new_hist, new_len
+            return (
+                packed, enc2, dec2, window, new_hist, new_len,
+                pend_out, res.n_tokens,
+            )
 
-        self._gen_fns[key] = (generate_chunk, prompt)
+        gen = jax.jit(generate_chunk, donate_argnums=(1, 2, 3, 4, 6))
+        self._gen_fns[key] = (gen, prompt)
         return self._gen_fns[key]
 
     # -- policy ------------------------------------------------------------
@@ -364,6 +390,8 @@ class InfiniSSTAgent(SpeechToTextAgent):
             self.window,
             self.hist,
             self.hist_len,
+            self.pend_tokens,
+            self.pend_n,
         ) = fn(
             self.params,
             self.enc_state,
@@ -371,6 +399,8 @@ class InfiniSSTAgent(SpeechToTextAgent):
             self.window,
             self.hist,
             self.hist_len,
+            self.pend_tokens,
+            self.pend_n,
             jnp.asarray(chunk_i16),
         )
         # the ONLY host sync per chunk:
@@ -378,11 +408,13 @@ class InfiniSSTAgent(SpeechToTextAgent):
         n_tok = int(packed[0])
         n_emit = int(packed[2])
         out_ids = packed[3 : 3 + n_emit].tolist()
+        self.pend_n_host = n_tok
 
         self.first_chunk = False
         states.target_ids.extend(out_ids)
 
-        # --- cache bookkeeping (host mirror; ref :337-361)
+        # --- cache bookkeeping (host mirror, LOGICAL = physical + pending;
+        # ref :337-361)
         self.llm_cache_len += prompt.ids.shape[0] + n_tok
         self.cache_checkpoints.append(self.llm_cache_len)
         if self.llm_cache_len > opts.max_llm_cache_size:
@@ -403,10 +435,13 @@ class InfiniSSTAgent(SpeechToTextAgent):
                 if opts.always_cache_system_prompt
                 else 0
             )
-            # async dispatch; never synchronised on
+            # async dispatch; never synchronised on.  The mirror counts
+            # logical tokens (incl. this chunk's pending, not yet physically
+            # in the cache); eviction keeps the physical tail.
+            keep_physical = new_len - self.pend_n_host
             self.dec_state = self._evict_fn(
                 self.dec_state,
-                jnp.asarray([new_len], jnp.int32),
+                jnp.asarray([keep_physical], jnp.int32),
                 jnp.asarray(sys_len, jnp.int32),
             )
             self.llm_cache_len = new_len + sys_len

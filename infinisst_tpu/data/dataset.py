@@ -72,7 +72,21 @@ class SpeechToTextDataset:
         return len(self.audio_paths)
 
     def __getitem__(self, index: int) -> SpeechToTextItem:
-        source, _sr = get_waveform(self.audio_paths[index])
+        # bounded retry with random backoff on flaky reads (the reference
+        # retries forever on NFS hiccups, train/dataset.py:117-124)
+        import random
+        import time as _time
+
+        last_err = None
+        for _ in range(20):
+            try:
+                source, _sr = get_waveform(self.audio_paths[index])
+                break
+            except OSError as e:  # pragma: no cover - fs dependent
+                last_err = e
+                _time.sleep(random.uniform(0, 1))
+        else:  # pragma: no cover
+            raise last_err
         return SpeechToTextItem(
             id=self.ids[index],
             index=index,

@@ -72,6 +72,13 @@ class HFTokenizerAdapter:
     def decode(self, ids, skip_special_tokens: bool = True) -> str:
         return self.tok.decode(ids, skip_special_tokens=skip_special_tokens)
 
+    def apply_chat_template(self, messages) -> List[int]:
+        return list(
+            self.tok.apply_chat_template(
+                messages, add_special_tokens=False
+            )
+        )
+
 
 @dataclass
 class ChunkPrompt:
@@ -88,12 +95,19 @@ class PromptBuilder:
         source_lang: str = "English",
         target_lang: str = "German",
         llama31: bool = True,
+        use_hf_template: Optional[bool] = None,
     ):
         self.tokenizer = tokenizer
         self.t = tokens
         self.source_lang = source_lang
         self.target_lang = target_lang
         self.llama31 = llama31
+        # exact-parity mode: render through the HF tokenizer's chat template
+        # (matches the reference's apply_chat_template output, including any
+        # template-injected preamble) when a real tokenizer is available
+        if use_hf_template is None:
+            use_hf_template = hasattr(tokenizer, "apply_chat_template")
+        self.use_hf_template = use_hf_template
 
     # -- pieces ------------------------------------------------------------
     def system_text(self, multiplier: int) -> str:
@@ -128,6 +142,11 @@ class PromptBuilder:
 
     def system_ids(self, text: str) -> np.ndarray:
         """<|begin_of_text|> + system block."""
+        if self.use_hf_template:
+            ids = self.tokenizer.apply_chat_template(
+                [{"role": "system", "content": text}]
+            )
+            return np.asarray(ids, np.int32)
         t = self.t
         ids = (
             [t.bos, t.start_header]
@@ -160,6 +179,31 @@ class PromptBuilder:
         if n_patches is None:
             n_patches = 12 * multiplier
         t = self.t
+        if self.use_hf_template:
+            # render [system?, user(patches), assistant("")] exactly as the
+            # reference does (agents/infinisst.py:225-268): full template,
+            # trailing assistant <|eot_id|> stripped; for later chunks the
+            # auto-inserted system block is removed (the 3.1 strip)
+            messages = []
+            sys_text = self.system_text(multiplier)
+            messages.append({"role": "system", "content": sys_text})
+            messages.append(
+                {"role": "user", "content": DEFAULT_SPEECH_PATCH_TOKEN * n_patches}
+            )
+            messages.append({"role": "assistant", "content": ""})
+            ids = self.tokenizer.apply_chat_template(messages)[:-1]
+            if not first:
+                sys_len = len(self.system_ids(sys_text))
+                if self.llama31:
+                    ids = ids[sys_len:]
+                else:
+                    ids = [t.eos] + ids[sys_len:]
+            ids = np.asarray(ids, np.int32)
+            patch_pos = np.where(ids == t.sp_patch)[0]
+            assert len(patch_pos) == n_patches, (len(patch_pos), n_patches)
+            return ChunkPrompt(
+                ids=ids, patch_start=int(patch_pos[0]), n_patches=n_patches
+            )
         nl2 = self.tokenizer.encode("\n\n")
         header = [t.start_header, t.user, t.end_header] + nl2
         if first:

@@ -240,11 +240,27 @@ def beam_search(
             | ((n_fin >= B) & (worst_fin >= best_possible))
         )
 
-        # --- forward the next token for all beams (the final iteration's
-        # forward is unused; one wasted step keeps the loop shape static)
-        x = llama_mod.embed(params, new_tok[:, None])
-        logits_next, gen_k, gen_v, attn_next = llama_mod.beam_token_step(
-            params, cfg, prefix, gen_k, gen_v, t, x, attn_probe=attn_probe
+        # --- forward the next token for all beams; skipped via cond on the
+        # final iteration (its logits would be unused — saves one full
+        # weight stream per chunk)
+        def fwd(args):
+            gk, gv = args
+            x = llama_mod.embed(params, new_tok[:, None])
+            return llama_mod.beam_token_step(
+                params, cfg, prefix, gk, gv, t, x, attn_probe=attn_probe
+            )
+
+        def skip(args):
+            gk, gv = args
+            return (
+                logits_cur,
+                gk,
+                gv,
+                jnp.full((B,), -1, jnp.int32),
+            )
+
+        logits_next, gen_k, gen_v, attn_next = lax.cond(
+            done_now, skip, fwd, (gen_k, gen_v)
         )
 
         return (

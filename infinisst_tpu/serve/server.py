@@ -22,9 +22,12 @@ from __future__ import annotations
 
 import argparse
 import asyncio
+import base64
 import json
 
 import numpy as np
+
+READLINE_LIMIT = 16 * 1024 * 1024
 
 
 class StreamingServer:
@@ -79,10 +82,17 @@ class StreamingServer:
                     )
                     await writer.drain()
                 elif msg["type"] == "audio" and slot is not None:
+                    if "pcm_b64" in msg:
+                        pcm = (
+                            np.frombuffer(
+                                base64.b64decode(msg["pcm_b64"]), np.int16
+                            ).astype(np.float32)
+                            / 32768.0
+                        )
+                    else:
+                        pcm = np.asarray(msg["pcm"], np.float32)
                     self.engine.push_audio(
-                        slot,
-                        np.asarray(msg["pcm"], np.float32),
-                        finished=msg.get("finished", False),
+                        slot, pcm, finished=msg.get("finished", False)
                     )
                 elif msg["type"] == "close":
                     break
@@ -98,7 +108,9 @@ class StreamingServer:
             writer.close()
 
     async def run(self, host: str, port: int):
-        server = await asyncio.start_server(self.handle, host, port)
+        server = await asyncio.start_server(
+            self.handle, host, port, limit=READLINE_LIMIT
+        )
         tick = asyncio.create_task(self.tick_loop())
         async with server:
             await server.serve_forever()

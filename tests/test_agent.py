@@ -85,7 +85,10 @@ def test_agent_stream():
     # llm cache stayed within the configured bound (checked after eviction)
     assert agent.llm_cache_len <= agent.opts.max_llm_cache_size + \
         agent.system_prompt_size
-    assert agent.llm_cache_len == int(agent.dec_state.valid_len[0])
+    # logical mirror = physical cache + deferred-commit pending tokens
+    assert agent.llm_cache_len == (
+        int(agent.dec_state.valid_len[0]) + agent.pend_n_host
+    )
 
 
 @pytest.mark.slow

@@ -1,0 +1,59 @@
+"""End-to-end asyncio server test: two concurrent clients stream audio over
+TCP and receive translations."""
+
+import asyncio
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from infinisst_tpu.core.config import StreamConfig
+from infinisst_tpu.data.template import PromptBuilder, StubTokenizer
+from infinisst_tpu.serve.client import stream_file
+from infinisst_tpu.serve.engine import ServingEngine
+from infinisst_tpu.serve.server import StreamingServer
+
+from tests.test_agent import CFG, small_special_tokens, tiny_params
+
+
+@pytest.mark.slow
+def test_server_two_clients():
+    cfg = CFG.replace(tokens=small_special_tokens())
+    stream = StreamConfig(
+        max_cache_frames=96, max_llm_cache_tokens=120, llm_cache_capacity=256
+    )
+    tok = StubTokenizer(512, lo=10, hi=400)
+    builders = {
+        ("English", "German"): PromptBuilder(tok, cfg.tokens, "English", "German"),
+    }
+    eng = ServingEngine(
+        tiny_params(), cfg, stream, builders, pool_size=4, multiplier=1,
+        max_new_tokens=6, dtype=jnp.float32,
+    )
+    srv = StreamingServer(eng, tick_interval=0.05)
+
+    async def run():
+        server = await asyncio.start_server(
+            srv.handle, "127.0.0.1", 0, limit=16 * 1024 * 1024
+        )
+        port = server.sockets[0].getsockname()[1]
+        tick = asyncio.create_task(srv.tick_loop())
+        rng = np.random.RandomState(0)
+        wavs = [
+            rng.randn(2 * 15360).astype(np.float32) * 0.1 for _ in range(2)
+        ]
+        results = await asyncio.wait_for(
+            asyncio.gather(
+                stream_file("127.0.0.1", port, wavs[0]),
+                stream_file("127.0.0.1", port, wavs[1]),
+            ),
+            timeout=600,
+        )
+        tick.cancel()
+        server.close()
+        return results
+
+    r0, r1 = asyncio.run(run())
+    # both clients got a final message sequence
+    assert isinstance(r0, list) and isinstance(r1, list)
+    assert len(r0) >= 1 and len(r1) >= 1
