@@ -50,6 +50,7 @@ def main():
     multiplier = int(sys.argv[sys.argv.index("--multiplier") + 1]) if "--multiplier" in sys.argv else 1
     n_chunks = int(sys.argv[sys.argv.index("--chunks") + 1]) if "--chunks" in sys.argv else 12
     mode = sys.argv[sys.argv.index("--mode") + 1] if "--mode" in sys.argv else "stream"
+    quantize = "--quantize" in sys.argv
     warmup = 3
 
     if mode == "serve":
@@ -69,6 +70,7 @@ def main():
         latency_multiplier=multiplier,
         beam=4,
         max_llm_cache_size=stream.max_llm_cache_tokens,
+        quantize=quantize,
     )
     agent = InfiniSSTAgent(params, cfg, stream, builder, opts, param_dtype=dtype)
     print("agent ready; first chunk will compile...", file=sys.stderr, flush=True)
@@ -93,7 +95,8 @@ def main():
     rtf = float(np.mean(times)) / chunk_sec
     baseline_rtf = 0.382  # En-De m=1 on L40S, BASELINE.md
     result = {
-        "metric": f"streaming_rtf_m{multiplier}_beam4_1chip",
+        "metric": f"streaming_rtf_m{multiplier}_beam4_1chip"
+        + ("_int8" if quantize else ""),
         "value": round(rtf, 4),
         "unit": "rtf",
         "vs_baseline": round(baseline_rtf / rtf, 3),

@@ -73,6 +73,7 @@ class InfiniSSTOptions:
     rtf_timing: bool = False  # print per-chunk wall time
     dpo_sampling: bool = False  # dump per-chunk translations for DPO
     output_file: str = "translations.json"
+    quantize: bool = False  # int8 weight-only decode (Pallas dequant matmul)
 
 
 class InfiniSSTAgent(SpeechToTextAgent):
@@ -85,6 +86,11 @@ class InfiniSSTAgent(SpeechToTextAgent):
         opts: InfiniSSTOptions,
         param_dtype=jnp.float32,
     ):
+        if opts.quantize:
+            from infinisst_tpu.models.quant import quantize_llama_params
+
+            params = dict(params)
+            params["llama"] = quantize_llama_params(params["llama"])
         self.params = params
         self.cfg = model_cfg
         self.stream = stream_cfg

@@ -1,0 +1,84 @@
+"""Pallas TPU kernel: weight-only int8 matmul with in-VMEM dequantization.
+
+Single-stream LLM decode is HBM-bandwidth-bound on weight streaming.  A
+plain XLA ``x @ w_int8.astype(bf16) * scale`` materialises the bf16 copy and
+is *slower* than bf16 (measured); this kernel streams int8 tiles HBM->VMEM
+and dequantises in registers right before the MXU, so each weight byte
+crosses HBM once at half the bf16 width.
+
+    y (M, D) bf16  @  w (D, O) int8 [per-out-channel scale (O,) f32]
+      -> (M, O) bf16
+
+Used by the quantized decode path (models/quant.py) for qkv/o/gate/up/down
+and lm_head.  Falls back to the jnp reference off-TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _qmm_kernel(y_ref, w_ref, s_ref, o_ref, *, out_dtype):
+    w = w_ref[:].astype(jnp.bfloat16)
+    acc = jnp.dot(
+        y_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+    )
+    o_ref[:] = (acc * s_ref[0][None, :].astype(jnp.float32)).astype(out_dtype)
+
+
+def quantized_matmul(
+    y: jnp.ndarray,  # (M, D)
+    w_q: jnp.ndarray,  # (D, O) int8
+    scale: jnp.ndarray,  # (O,) f32
+    tile_o: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    M, D = y.shape
+    D2, O = w_q.shape
+    assert D == D2
+    assert O % tile_o == 0, (O, tile_o)
+    # sublane alignment for the M dim
+    Mp = max(8, ((M + 7) // 8) * 8)
+    if Mp != M:
+        y = jnp.pad(y, ((0, Mp - M), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_qmm_kernel, out_dtype=y.dtype),
+        grid=(O // tile_o,),
+        in_specs=[
+            pl.BlockSpec((Mp, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, tile_o), lambda i: (0, i), memory_space=pltpu.VMEM),
+            # scale passed as (1, O): 1-D operands hit XLA/Mosaic layout
+            # tiling mismatches
+            pl.BlockSpec((1, tile_o), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (Mp, tile_o), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, O), y.dtype),
+        interpret=interpret,
+    )(y, w_q, scale[None, :])
+    return out[:M]
+
+
+def quantize_weight(w: jnp.ndarray, axis: int = 0):
+    """Symmetric per-out-channel int8 quantization of (…, in, out) weights.
+    Returns (w_q int8, scale f32 over the out axis)."""
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    w_q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127).astype(
+        jnp.int8
+    )
+    return w_q, jnp.squeeze(scale, axis=axis)
+
+
+def quantized_matmul_reference(y, w_q, scale):
+    return (
+        (y.astype(jnp.float32) @ w_q.astype(jnp.float32)) * scale[None, :]
+    ).astype(y.dtype)

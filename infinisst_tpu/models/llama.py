@@ -38,6 +38,7 @@ from jax import lax
 from infinisst_tpu.core import masks as M
 from infinisst_tpu.core import rope as R
 from infinisst_tpu.core.config import LlamaConfig
+from infinisst_tpu.models.quant import mm
 from infinisst_tpu.streaming.state import DecoderState
 
 Params = Dict[str, Any]
@@ -120,9 +121,9 @@ def decode_step(
     def body(h, per_layer):
         lp, ck, cv = per_layer
         y = _rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
-        q = (y @ lp["wq"]).reshape(B, S, H, Dh)
-        k_new = (y @ lp["wk"]).reshape(B, S, KV, Dh)
-        v_new = (y @ lp["wv"]).reshape(B, S, KV, Dh)
+        q = mm(y, lp["wq"]).reshape(B, S, H, Dh)
+        k_new = mm(y, lp["wk"]).reshape(B, S, KV, Dh)
+        v_new = mm(y, lp["wv"]).reshape(B, S, KV, Dh)
 
         k_all = jnp.concatenate([ck, k_new], axis=1)  # (B, C+S, KV, Dh)
         v_all = jnp.concatenate([cv, v_new], axis=1)
@@ -151,11 +152,11 @@ def decode_step(
             probe = jnp.zeros((B, S), jnp.int32)
         attn = jnp.einsum("bkgst,bktd->bkgsd", w, vt)
         attn = jnp.transpose(attn.reshape(B, H, S, Dh), (0, 2, 1, 3))
-        h = h + attn.reshape(B, S, H * Dh) @ lp["wo"]
+        h = h + mm(attn.reshape(B, S, H * Dh), lp["wo"])
 
         y = _rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
-        y = jax.nn.silu(y @ lp["w_gate"]) * (y @ lp["w_up"])
-        h = h + y @ lp["w_down"]
+        y = jax.nn.silu(mm(y, lp["w_gate"])) * mm(y, lp["w_up"])
+        h = h + mm(y, lp["w_down"])
         return h, (k_new, v_new, probe)
 
     h, scanned = lax.scan(
@@ -166,7 +167,7 @@ def decode_step(
     new_kv = (scanned[0], scanned[1])
     probes = scanned[2]
     h = _rms_norm(h, params["final_ln"], cfg.rms_norm_eps)
-    logits = h @ params["lm_head"]
+    logits = mm(h, params["lm_head"])
 
     # append new K/V at valid_len (per batch element)
     def append(buf, new):
@@ -298,9 +299,9 @@ def beam_token_step(
     def body(h, per_layer):
         lp, pk, pv, gk, gv = per_layer
         y = _rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
-        q = (y @ lp["wq"]).reshape(beam, 1, H, Dh)
-        k_new = (y @ lp["wk"]).reshape(beam, 1, KV, Dh)
-        v_new = (y @ lp["wv"]).reshape(beam, 1, KV, Dh)
+        q = mm(y, lp["wq"]).reshape(beam, 1, H, Dh)
+        k_new = mm(y, lp["wk"]).reshape(beam, 1, KV, Dh)
+        v_new = mm(y, lp["wv"]).reshape(beam, 1, KV, Dh)
 
         gk = lax.dynamic_update_slice(
             gk, k_new.astype(gk.dtype), (0, gen_len, 0, 0)
@@ -338,10 +339,10 @@ def beam_token_step(
             probe = jnp.full((beam,), -1, jnp.int32)
         attn = jnp.einsum("bkgst,bktd->bkgsd", w, vt)
         attn = jnp.transpose(attn.reshape(beam, H, 1, Dh), (0, 2, 1, 3))
-        h = h + attn.reshape(beam, 1, H * Dh) @ lp["wo"]
+        h = h + mm(attn.reshape(beam, 1, H * Dh), lp["wo"])
         y = _rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
-        y = jax.nn.silu(y @ lp["w_gate"]) * (y @ lp["w_up"])
-        h = h + y @ lp["w_down"]
+        y = jax.nn.silu(mm(y, lp["w_gate"])) * mm(y, lp["w_up"])
+        h = h + mm(y, lp["w_down"])
         return h, (gk, gv, probe)
 
     h, (new_gk, new_gv, probes) = lax.scan(
@@ -350,7 +351,7 @@ def beam_token_step(
         (params["layers"], prefix.k, prefix.v, gen_k, gen_v),
     )
     h = _rms_norm(h, params["final_ln"], cfg.rms_norm_eps)
-    logits = (h @ params["lm_head"])[:, 0]  # (beam, V)
+    logits = mm(h, params["lm_head"])[:, 0]  # (beam, V)
     if attn_probe is not None:
         layer = attn_probe[0] % probes.shape[0]
         attn_idx = probes[layer]

@@ -1,0 +1,67 @@
+"""Quantized decode path tests (interpret-mode Pallas on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from infinisst_tpu.core.config import LlamaConfig
+from infinisst_tpu.kernels.quant_matmul import (
+    quantize_weight,
+    quantized_matmul,
+    quantized_matmul_reference,
+)
+from infinisst_tpu.models import llama as L
+from infinisst_tpu.models.quant import mm, quantize_llama_params
+from infinisst_tpu.streaming.state import init_decoder_state
+
+
+def test_quantized_matmul_interpret():
+    k = jax.random.PRNGKey(0)
+    w = jax.random.normal(k, (256, 512)) * 0.05
+    wq, sc = quantize_weight(w)
+    y = jax.random.normal(jax.random.fold_in(k, 1), (4, 256))
+    ref = quantized_matmul_reference(y, wq, sc)
+    out = quantized_matmul(y, wq, sc, tile_o=256, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=1e-2, rtol=1e-2,
+    )
+
+
+@pytest.mark.slow
+def test_quantized_decode_close_to_fp():
+    """int8 weight-only decode logits stay close to full precision (128-
+    multiple dims so the real kernel path shapes are exercised; interpret
+    mode through mm via monkeypatching is avoided by comparing the
+    reference dequant matmul)."""
+    cfg = LlamaConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256, num_layers=2,
+        num_heads=4, num_kv_heads=4, head_dim=32, rope_scaling=False,
+    )
+    params = L.init_params(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_llama_params(params)
+
+    # replace the pallas kernel with its jnp reference for CPU testing
+    import infinisst_tpu.models.quant as Q
+
+    orig = Q.quantized_matmul
+    Q.quantized_matmul = (
+        lambda y, w, s, interpret=False: quantized_matmul_reference(y, w, s)
+    )
+    try:
+        toks = jax.random.randint(jax.random.PRNGKey(1), (1, 9), 0, 256)
+        x = L.embed(params, toks)
+        st = init_decoder_state(2, 1, 32, 4, 32, dtype=jnp.float32)
+        full, _ = L.decode_step(params, cfg, st, x)
+        st2 = init_decoder_state(2, 1, 32, 4, 32, dtype=jnp.float32)
+        quant, _ = L.decode_step(qparams, cfg, st2, x)
+    finally:
+        Q.quantized_matmul = orig
+
+    f = np.asarray(full, np.float32)
+    q = np.asarray(quant, np.float32)
+    # logits track closely; ranking of the top token is stable
+    rel = np.abs(f - q).max() / (np.abs(f).max() + 1e-9)
+    assert rel < 0.08, rel
+    np.testing.assert_array_equal(f.argmax(-1), q.argmax(-1))
