@@ -179,14 +179,15 @@ class AlignAttAgent(InfiniSSTAgent):
             jnp.asarray(plen, jnp.int32),
             jnp.asarray(max_steps, jnp.int32),
         )
-        n_tok = int(res.n_tokens)
-        out_ids = np.asarray(res.tokens[:n_tok]).tolist()
-        attn_idx = np.asarray(res.attn_idx[:n_tok]).tolist()
+        res_h, probes_h = jax.device_get((res, probes))
+        n_tok = int(res_h.n_tokens)
+        out_ids = res_h.tokens[:n_tok].tolist()
+        attn_idx = res_h.attn_idx[:n_tok].tolist()
 
         # refresh history attention trace (rows of the re-computed target
         # prefix; ref :150-154)
         tgt_start = prompt.patch_start + n_speech + 5  # assistant text start
-        probes_np = np.asarray(probes[0])
+        probes_np = probes_h[0]
         states.most_attended_indices = [
             int(probes_np[i]) * SAMPLES_PER_SPEECH_TOKEN
             for i in range(tgt_start, plen)

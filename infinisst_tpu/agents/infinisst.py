@@ -409,8 +409,9 @@ class InfiniSSTAgent(SpeechToTextAgent):
             self.pend_n,
             jnp.asarray(chunk_i16),
         )
-        # the ONLY host sync per chunk:
-        packed = np.asarray(packed)
+        # the ONLY host sync per chunk (jax.device_get, NOT np.asarray: the
+        # latter can hit a pathologically slow path on remote backends)
+        packed = jax.device_get(packed)
         n_tok = int(packed[0])
         n_emit = int(packed[2])
         out_ids = packed[3 : 3 + n_emit].tolist()

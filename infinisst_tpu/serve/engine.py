@@ -301,8 +301,7 @@ class ServingEngine:
             jnp.asarray(hist), jnp.asarray(hist_len),
         )
         self.enc_state, self.dec_state = enc2, dec2
-        toks = np.asarray(toks)
-        n_tok = np.asarray(n_tok)
+        toks, n_tok = jax.device_get((toks, n_tok))
 
         out: Dict[int, str] = {}
         for i, pr in prompts:
@@ -347,7 +346,7 @@ class ServingEngine:
         )
         # evict only this row: batched gather with per-row keep (other rows
         # keep their full valid_len)
-        keep = np.asarray(jax.device_get(self.dec_state.valid_len))
+        keep = jax.device_get(self.dec_state.valid_len)
         keep_len = keep.copy()
         keep_len[i] = new_len
         sys_lens = np.zeros_like(keep_len)
