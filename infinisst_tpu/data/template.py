@@ -48,8 +48,13 @@ class StubTokenizer:
         self.lo, self.hi = lo, hi
 
     def encode(self, text: str) -> List[int]:
+        words = text.split()
+        if not words and text:
+            # pure-whitespace strings (e.g. the chat template's "\n\n")
+            # still occupy one token, as in the real Llama tokenizer
+            words = [repr(text)]
         out = []
-        for w in text.split():
+        for w in words:
             h = int(hashlib.md5(w.encode()).hexdigest(), 16)
             out.append(self.lo + h % (self.hi - self.lo))
         return out

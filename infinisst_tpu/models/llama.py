@@ -202,9 +202,11 @@ def offline_forward(
     cfg: LlamaConfig,
     x_embed: jnp.ndarray,  # (B, S, D)
     attention_mask: Optional[jnp.ndarray] = None,  # (B, S) 1 = real
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Training forward: plain causal attention, no cache.
 
+    ``remat`` checkpoints each layer (gradient checkpointing).
     Returns logits (B, S, V)."""
     B, S, D = x_embed.shape
     H, KV, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -244,7 +246,8 @@ def offline_forward(
         h = h + y @ lp["w_down"]
         return h, None
 
-    h, _ = lax.scan(body, x_embed, params["layers"])
+    scan_body = jax.checkpoint(body) if remat else body
+    h, _ = lax.scan(scan_body, x_embed, params["layers"])
     h = _rms_norm(h, params["final_ln"], cfg.rms_norm_eps)
     return h @ params["lm_head"]
 

@@ -117,13 +117,14 @@ def offline_forward(
     max_cache_frames: int,
     frame_lengths: Optional[jnp.ndarray] = None,
     attention_mask: Optional[jnp.ndarray] = None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Training / offline forward: full-utterance encoder with the training
     block mask, speech spliced at patch positions (which may be ragged per
     batch row), causal LLM forward.  Returns logits (B, S, V)."""
     frames = w2v2_mod.forward(
         params["w2v2"], cfg.w2v2, samples, block_frames, max_cache_frames,
-        frame_lengths,
+        frame_lengths, remat=remat,
     )
     speech = adapter_mod.forward(params["adapter"], cfg.adapter, frames)
     emb = llama_mod.embed(params["llama"], ids)
@@ -139,5 +140,5 @@ def offline_forward(
     )
     emb = jnp.where(patch_mask[:, :, None], speech_at_pos.astype(emb.dtype), emb)
     return llama_mod.offline_forward(
-        params["llama"], cfg.llama, emb, attention_mask
+        params["llama"], cfg.llama, emb, attention_mask, remat=remat
     )

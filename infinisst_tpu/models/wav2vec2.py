@@ -142,6 +142,7 @@ def _encoder_stack(
     k_pos: jnp.ndarray,
     cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],  # (L,B,C,H,Dh) x2
     inv_freq: jnp.ndarray,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """Scan the transformer layers; returns output and the new per-layer
     K/V for the processed chunk (to be appended to the cache by the caller).
@@ -171,11 +172,12 @@ def _encoder_stack(
         return h, (k_new, v_new)
 
     if cache_kv is None:
-        xs = (params["layers"], None, None)
 
         def scan_body(h, lp):
             return body(h, (lp, None, None))
 
+        if remat:
+            scan_body = jax.checkpoint(scan_body)
         x, new_kv = lax.scan(scan_body, x, params["layers"])
     else:
 
@@ -208,6 +210,7 @@ def forward(
     block_frames: int,
     max_cache_frames: int,
     frame_lengths: Optional[jnp.ndarray] = None,  # (B,) valid frames
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Offline/training forward with the block-causal training mask.
 
@@ -232,7 +235,9 @@ def forward(
     bias = M.additive(mask)
     pos = lax.broadcasted_iota(jnp.int32, (B, F), 1)
     inv_freq = jnp.asarray(R.encoder_rope_freqs(cfg.head_dim), jnp.float32)
-    out, _ = _encoder_stack(params, cfg, x, bias, pos, pos, None, inv_freq)
+    out, _ = _encoder_stack(
+        params, cfg, x, bias, pos, pos, None, inv_freq, remat=remat
+    )
     return out
 
 

@@ -16,7 +16,7 @@ adapter+LLM.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple  # noqa: F401
 
 import jax
 import jax.numpy as jnp
@@ -156,11 +156,19 @@ def make_train_step(
     max_cache_frames: int,
     multiplier: int = 1,
     cpo_beta: float = 0.0,
+    freeze: Optional[FreezeConfig] = None,
+    remat: bool = False,
 ) -> Callable:
     """Returns train_step(state, batch) -> (state, metrics).  Jit with
-    donate_argnums=(0,) and sharding constraints applied by the caller."""
+    donate_argnums=(0,) and sharding constraints applied by the caller.
 
-    def loss_fn(params, batch: Batch):
+    When ``freeze`` is given, gradients are computed only w.r.t. the
+    trainable partition (frozen weight-grad buffers are never allocated —
+    essential for fitting stage 1's frozen 8B LLM in HBM);
+    ``remat`` checkpoints the transformer layers to trade FLOPs for
+    activation memory (the jax analogue of gradient checkpointing)."""
+
+    def forward(params, batch: Batch):
         logits = speech_llm.offline_forward(
             params,
             cfg,
@@ -171,20 +179,87 @@ def make_train_step(
             max_cache_frames,
             frame_lengths=batch.frame_lengths,
             attention_mask=batch.attention_mask,
+            remat=remat,
         )
         return lm_loss(logits, batch.labels, cpo_beta)
 
+    if freeze is None:
+
+        def train_step(state: TrainState, batch: Batch):
+            loss, grads = jax.value_and_grad(forward)(state.params, batch)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            gnorm = optax.global_norm(grads)
+            return (
+                TrainState(new_params, new_opt, state.step + 1),
+                {"loss": loss, "grad_norm": gnorm},
+            )
+
+        return train_step
+
+    # partitioned-grad path
     def train_step(state: TrainState, batch: Batch):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        mask = trainable_mask(state.params, freeze)
+
+        trainable, frozen = _partition(state.params, mask)
+
+        def loss_fn(tr):
+            return forward(_combine(tr, frozen, mask), batch)
+
+        loss, tr_grads = jax.value_and_grad(loss_fn)(trainable)
+        zeros = jax.tree.map(jnp.zeros_like, frozen)
+        grads = _combine(tr_grads, zeros, mask)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        gnorm = optax.global_norm(grads)
+        gnorm = optax.global_norm(tr_grads)
         return (
             TrainState(new_params, new_opt, state.step + 1),
             {"loss": loss, "grad_norm": gnorm},
         )
 
     return train_step
+
+
+def _partition(params, mask):
+    flat_p, treedef = jax.tree.flatten(params)
+    flat_m = jax.tree.leaves(mask)
+    trainable = [p if m else None for p, m in zip(flat_p, flat_m)]
+    frozen = [None if m else p for p, m in zip(flat_p, flat_m)]
+    return (
+        _PartialTree(treedef, trainable),
+        _PartialTree(treedef, frozen),
+    )
+
+
+def _combine(trainable: "_PartialTree", frozen: "_PartialTree", mask):
+    flat_m = jax.tree.leaves(mask)
+    leaves = [
+        t if m else f
+        for t, f, m in zip(trainable.leaves, frozen.leaves, flat_m)
+    ]
+    return jax.tree.unflatten(trainable.treedef, leaves)
+
+
+@jax.tree_util.register_pytree_node_class
+class _PartialTree:
+    """A flattened params tree with some leaves masked out (None) — lets
+    jax.grad differentiate only the present leaves."""
+
+    def __init__(self, treedef, leaves):
+        self.treedef = treedef
+        self.leaves = leaves
+
+    def tree_flatten(self):
+        present = [x for x in self.leaves if x is not None]
+        mask = tuple(x is not None for x in self.leaves)
+        return present, (self.treedef, mask)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        treedef, mask = aux
+        it = iter(children)
+        leaves = [next(it) if m else None for m in mask]
+        return cls(treedef, leaves)
 
 
 def eval_step_fn(

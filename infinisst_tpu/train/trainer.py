@@ -73,6 +73,8 @@ class TrainerArgs:
     max_steps: Optional[int] = None
     debug_mode: bool = False  # fast_dev_run equivalent
 
+    remat: bool = True  # gradient checkpointing (activation memory)
+
     # mesh
     n_data: int = 1
     n_model: int = 1
@@ -167,6 +169,7 @@ class Trainer:
             if args.stage == 1
             else tstep.FreezeConfig.stage2()
         )
+        self.freeze = freeze
         opt_cfg = tstep.OptimConfig(
             learning_rate=args.learning_rate,
             warmup_steps=args.warmup_steps,
@@ -174,6 +177,7 @@ class Trainer:
             clip_norm=args.clip_norm,
             total_steps=args.max_steps or 100_000,
         )
+        self._schedule = tstep.make_schedule(opt_cfg)
         base_tx = tstep.make_optimizer(opt_cfg, params, freeze)
         self.tx = (
             optax.MultiSteps(base_tx, args.grad_acc_steps)
@@ -223,6 +227,8 @@ class Trainer:
                     self.args.max_cache_size,
                     multiplier=m,
                     cpo_beta=self.args.cpo_beta,
+                    freeze=self.freeze,
+                    remat=self.args.remat,
                 ),
                 donate_argnums=(0,),
             )
@@ -276,6 +282,7 @@ class Trainer:
                                 "train_loss": loss,
                                 f"train_loss_m{m}": loss,
                                 "grad_norm": float(metrics["grad_norm"]),
+                                "lr": float(self._schedule(step)),
                                 "epoch": epoch,
                                 "sec_per_step": (time.time() - t0)
                                 / max(step, 1),
