@@ -256,6 +256,12 @@ class Trainer:
         resume = ckpt.latest_step(os.path.join(args.save_dir, "ckpt"))
         if resume is not None:
             abstract = jax.eval_shape(lambda: self.state)
+            # free the freshly-initialised state before restoring, or HBM
+            # briefly holds two full copies
+            for leaf in jax.tree.leaves(self.state):
+                if hasattr(leaf, "delete"):
+                    leaf.delete()
+            self.state = None
             self.state = ckpt.restore(
                 os.path.join(args.save_dir, "ckpt"), abstract
             )
