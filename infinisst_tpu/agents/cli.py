@@ -14,7 +14,6 @@ Usage (mirrors scripts/infer/infinisst.sh):
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 
 

@@ -20,7 +20,7 @@ not mutate sequence lengths at runtime.
 from __future__ import annotations
 
 import copy
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 
@@ -29,7 +29,6 @@ from infinisst_tpu.core.config import (
     ModelConfig,
 )
 from infinisst_tpu.data.template import (
-    DEFAULT_LATENCY_TOKEN,
     IGNORE_INDEX,
     PromptBuilder,
     build_trajectory_prompt,

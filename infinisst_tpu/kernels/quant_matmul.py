@@ -16,7 +16,6 @@ and lm_head.  Falls back to the jnp reference off-TPU.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

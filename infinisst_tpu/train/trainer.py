@@ -18,7 +18,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Optional
 
 import jax
@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from infinisst_tpu.core.config import ModelConfig, StreamConfig
+from infinisst_tpu.core.config import ModelConfig
 from infinisst_tpu.data.collators import COLLATORS
 from infinisst_tpu.data.dataset import SpeechToTextDataset
 from infinisst_tpu.data.sampler import SpeechSampler

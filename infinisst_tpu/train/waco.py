@@ -15,7 +15,6 @@ padded to a static maximum and masked.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,8 +42,6 @@ class WacoBatch:
 def collate_waco(samples, model_cfg: ModelConfig, max_spans: int = 64):
     """Build a WacoBatch from SpeechToTextItems carrying speech_word /
     text_word spans (seconds / token indices, ref :259-267)."""
-    from infinisst_tpu.data.collators import CollatorBase
-
     B = len(samples)
     sp = np.zeros((B, max_spans, 2), np.int32)
     tp = np.zeros((B, max_spans, 2), np.int32)
