@@ -74,15 +74,53 @@ def render(rows) -> str:
     return "\n".join(out) + "\n"
 
 
+def plot_rtf(rows, out_path: str):
+    """RTF-vs-multiplier comparison figure (the reference keeps these in
+    plots/figures/*.pdf)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:  # pragma: no cover
+        return None
+    ours = {}
+    for r in rows:
+        m = r.get("metric", "")
+        if m.startswith("streaming_rtf_m") and "int8" not in m:
+            mult = int(m.split("_m")[1].split("_")[0])
+            ours[mult] = r["value"]
+    if not ours:
+        return None
+    fig, ax = plt.subplots(figsize=(5, 3.2))
+    ms = [1, 2, 3, 4]
+    ax.plot(ms, BASELINES[("en-de", "rtf")], "o-", label="reference (L40S)")
+    xs = sorted(ours)
+    ax.plot(xs, [ours[m] for m in xs], "s-", label="ours (v5e-1)")
+    ax.set_xlabel("latency multiplier m")
+    ax.set_ylabel("streaming RTF (lower is better)")
+    ax.set_xticks(ms)
+    ax.legend()
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out_path)
+    return out_path
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dir", default=".")
     p.add_argument("--out", default="REPORT.md")
+    p.add_argument("--figure", default=None, help="optional RTF figure path")
     args = p.parse_args()
     rows = collect(args.dir)
     md = render(rows)
     with open(args.out, "w") as f:
         f.write(md)
+    if args.figure:
+        out = plot_rtf(rows, args.figure)
+        if out:
+            print(f"figure -> {out}")
     print(md)
 
 

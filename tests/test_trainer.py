@@ -1,0 +1,98 @@
+"""Trainer-driver test: end-to-end fit on synthetic data (tiny model, CPU),
+checkpoint save + auto-resume."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from infinisst_tpu.core.presets import dryrun_config
+from infinisst_tpu.data.audio import write_wav
+from infinisst_tpu.data.template import PromptBuilder, StubTokenizer
+from infinisst_tpu.train.trainer import Trainer, TrainerArgs
+
+
+def _make_data(tmp_path, n=6):
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(n):
+        n_units = int(rng.randint(1, 3))
+        wav = (rng.randn(n_units * 15360) * 0.1).astype(np.float32)
+        path = str(tmp_path / f"u{i}.wav")
+        write_wav(path, wav)
+        traj = [f"seg{i} tok{j}" for j in range(n_units)]
+        rows.append(
+            {
+                "id": f"u{i}",
+                "audio": path,
+                "n_frames": str(len(wav)),
+                "src_text": "src words",
+                "tgt_text": " ".join(traj),
+                "trajectory": repr(traj),
+            }
+        )
+    for split in ("tr", "dv"):
+        with open(tmp_path / f"{split}.tsv", "w", newline="") as f:
+            w = csv.DictWriter(
+                f, fieldnames=list(rows[0].keys()), delimiter="\t",
+                quotechar=None, doublequote=False, lineterminator="\n",
+                quoting=csv.QUOTE_NONE,
+            )
+            w.writeheader()
+            for r in rows:
+                w.writerow(r)
+
+
+def _params(cfg):
+    import jax
+
+    from infinisst_tpu.models import adapter as A, llama as L, wav2vec2 as W
+
+    k = jax.random.PRNGKey(0)
+    return {
+        "w2v2": W.init_params(jax.random.fold_in(k, 0), cfg.w2v2),
+        "adapter": A.init_params(jax.random.fold_in(k, 1), cfg.adapter),
+        "llama": L.init_params(jax.random.fold_in(k, 2), cfg.llama),
+    }
+
+
+@pytest.mark.slow
+def test_fit_and_resume(tmp_path):
+    _make_data(tmp_path)
+    cfg = dryrun_config()
+    builder = PromptBuilder(StubTokenizer(cfg.llama.vocab_size, lo=10, hi=900),
+                            cfg.tokens)
+    args = TrainerArgs(
+        data_path=str(tmp_path),
+        data_split_train="tr",
+        data_split_eval="dv",
+        trajectory=4,
+        trajectory_max_multiplier=2,
+        stage=2,  # train llm+adapter (dryrun llm is tiny)
+        train_bsz=300,
+        eval_bsz=300,
+        bsz_sent=2,
+        learning_rate=1e-3,
+        warmup_steps=1,
+        max_steps=3,
+        grad_acc_steps=1,
+        log_step=1,
+        eval_step=2,
+        save_step=3,
+        save_dir=str(tmp_path / "run"),
+        max_cache_size=96,
+    )
+    t = Trainer(args, cfg, builder, _params(cfg))
+    final = t.fit()
+    assert final == 3
+    assert os.path.isfile(tmp_path / "run" / "metrics.jsonl")
+    lines = open(tmp_path / "run" / "metrics.jsonl").read().splitlines()
+    assert any("train_loss" in l for l in lines)
+    assert any("eval_loss" in l for l in lines)
+
+    # resume continues from step 3
+    args2 = TrainerArgs(**{**args.__dict__, "max_steps": 5})
+    t2 = Trainer(args2, cfg, builder, _params(cfg))
+    final2 = t2.fit()
+    assert final2 == 5
