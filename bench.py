@@ -51,19 +51,38 @@ def main():
     n_chunks = int(sys.argv[sys.argv.index("--chunks") + 1]) if "--chunks" in sys.argv else 12
     mode = sys.argv[sys.argv.index("--mode") + 1] if "--mode" in sys.argv else "stream"
     quantize = "--quantize" in sys.argv
+    model = sys.argv[sys.argv.index("--model") + 1] if "--model" in sys.argv else "bench"
     warmup = 3
 
     if mode == "serve":
         return bench_serve(multiplier, n_chunks)
 
-    cfg = bench_1chip_config()
-    dtype = jnp.bfloat16
-    k = jax.random.PRNGKey(0)
-    params = {
-        "w2v2": W.init_params(jax.random.fold_in(k, 0), cfg.w2v2, dtype),
-        "adapter": A.init_params(jax.random.fold_in(k, 1), cfg.adapter, dtype),
-        "llama": L.init_params(jax.random.fold_in(k, 2), cfg.llama, dtype),
-    }
+    if model == "8b":
+        # full Llama-3.1-8B architecture, int8 projections, on ONE 16 GB
+        # chip (the reference needs a 48 GB L40S for bf16 8B)
+        from infinisst_tpu.core.presets import flagship_config
+        from infinisst_tpu.models.quant import init_quantized_llama
+
+        cfg = flagship_config()
+        dtype = jnp.bfloat16
+        k = jax.random.PRNGKey(0)
+        params = {
+            "w2v2": W.init_params(jax.random.fold_in(k, 0), cfg.w2v2, dtype),
+            "adapter": A.init_params(jax.random.fold_in(k, 1), cfg.adapter, dtype),
+            "llama": init_quantized_llama(jax.random.fold_in(k, 2), cfg.llama),
+        }
+        quantize = False  # already quantized at init
+        tag = "8b_int8"
+    else:
+        cfg = bench_1chip_config()
+        dtype = jnp.bfloat16
+        k = jax.random.PRNGKey(0)
+        params = {
+            "w2v2": W.init_params(jax.random.fold_in(k, 0), cfg.w2v2, dtype),
+            "adapter": A.init_params(jax.random.fold_in(k, 1), cfg.adapter, dtype),
+            "llama": L.init_params(jax.random.fold_in(k, 2), cfg.llama, dtype),
+        }
+        tag = "1chip" + ("_int8" if quantize else "")
     stream = StreamConfig()
     builder = PromptBuilder(StubTokenizer(cfg.llama.vocab_size), cfg.tokens)
     opts = InfiniSSTOptions(
@@ -95,8 +114,7 @@ def main():
     rtf = float(np.mean(times)) / chunk_sec
     baseline_rtf = 0.382  # En-De m=1 on L40S, BASELINE.md
     result = {
-        "metric": f"streaming_rtf_m{multiplier}_beam4_1chip"
-        + ("_int8" if quantize else ""),
+        "metric": f"streaming_rtf_m{multiplier}_beam4_{tag}",
         "value": round(rtf, 4),
         "unit": "rtf",
         "vs_baseline": round(baseline_rtf / rtf, 3),

@@ -171,10 +171,13 @@ def decode_attention(
             inv_freq.astype(jnp.float32),
         )
 
+    # vmapped axes must lead for Mosaic block mapping: (B, KV, C, Dh)
+    ck = jnp.transpose(cache_k, (0, 2, 1, 3))
+    cv = jnp.transpose(cache_v, (0, 2, 1, 3))
     out = jax.vmap(  # over batch
-        jax.vmap(per_bk, in_axes=(0, 1, 1, None, None)),  # over kv head
+        jax.vmap(per_bk, in_axes=(0, 0, 0, None, None)),  # over kv head
         in_axes=(0, 0, 0, 0, 0),
-    )(qg, cache_k, cache_v, valid_len, q_pos)
+    )(qg, ck, cv, valid_len, q_pos)
     return out.reshape(B, H, Dh)
 
 

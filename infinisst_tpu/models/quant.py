@@ -49,6 +49,49 @@ def _quantize_stacked(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     return {"q": jnp.stack(qs), "scale": jnp.stack(ss)}
 
 
+def init_quantized_llama(key, cfg, dtype=None, embed_dtype=None):
+    """Random-init llama params directly in int8 (projections) + bf16
+    (embed/lm_head/norms) — avoids staging the full bf16 model in HBM,
+    which matters when the quantized model barely fits the chip (8B on one
+    16 GB v5e)."""
+    import math
+
+    import jax
+
+    embed_dtype = embed_dtype or jnp.bfloat16
+    D, I = cfg.hidden_size, cfg.intermediate_size
+    H, KV, Dh, L, V = (
+        cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, cfg.num_layers,
+        cfg.vocab_size,
+    )
+
+    def qmat(k, shape):
+        q = jax.random.randint(k, (L,) + shape, -127, 128, jnp.int8)
+        scale = jnp.full((L, shape[-1]), 1.0 / (127 * math.sqrt(shape[0])),
+                         jnp.float32)
+        return {"q": q, "scale": scale}
+
+    ks = jax.random.split(key, 10)
+    layers = {
+        "input_ln": jnp.ones((L, D), embed_dtype),
+        "post_ln": jnp.ones((L, D), embed_dtype),
+        "wq": qmat(ks[0], (D, H * Dh)),
+        "wk": qmat(ks[1], (D, KV * Dh)),
+        "wv": qmat(ks[2], (D, KV * Dh)),
+        "wo": qmat(ks[3], (H * Dh, D)),
+        "w_gate": qmat(ks[4], (D, I)),
+        "w_up": qmat(ks[5], (D, I)),
+        "w_down": qmat(ks[6], (I, D)),
+    }
+    return {
+        "embed": jax.random.normal(ks[7], (V, D), embed_dtype) * 0.02,
+        "layers": layers,
+        "final_ln": jnp.ones((D,), embed_dtype),
+        "lm_head": jax.random.normal(ks[8], (D, V), embed_dtype)
+        / math.sqrt(D),
+    }
+
+
 def quantize_llama_params(
     params: Dict[str, Any], quantize_lm_head: bool = False
 ) -> Dict[str, Any]:
