@@ -35,12 +35,19 @@ def quantized_matmul(
     y: jnp.ndarray,  # (M, D)
     w_q: jnp.ndarray,  # (D, O) int8
     scale: jnp.ndarray,  # (O,) f32
-    tile_o: int = 512,
+    tile_o: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     M, D = y.shape
     D2, O = w_q.shape
     assert D == D2
+    if tile_o == 0:
+        # keep the double-buffered weight tile within scoped VMEM:
+        # D * tile_o int8 (+ its bf16 dequant copy) must fit ~16 MB with
+        # the y/out tiles; ~4 MB per weight tile is safe for D up to 16k
+        tile_o = max(128, min(512, (4 * 1024 * 1024 // D) // 128 * 128))
+        while O % tile_o != 0 and tile_o > 128:
+            tile_o -= 128
     assert O % tile_o == 0, (O, tile_o)
     # sublane alignment for the M dim
     Mp = max(8, ((M + 7) // 8) * 8)
