@@ -112,7 +112,8 @@ def main():
     n_tok = len(agent.states.target_ids)
 
     rtf = float(np.mean(times)) / chunk_sec
-    baseline_rtf = 0.382  # En-De m=1 on L40S, BASELINE.md
+    # En-De per-multiplier RTF on L40S (BASELINE.md, plot.ipynb cell 9)
+    baseline_rtf = {1: 0.382, 2: 0.286, 3: 0.250, 4: 0.235}[multiplier]
     result = {
         "metric": f"streaming_rtf_m{multiplier}_beam4_{tag}",
         "value": round(rtf, 4),

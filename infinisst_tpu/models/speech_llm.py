@@ -118,13 +118,16 @@ def offline_forward(
     frame_lengths: Optional[jnp.ndarray] = None,
     attention_mask: Optional[jnp.ndarray] = None,
     remat: bool = False,
+    dropout_rng=None,
+    dropout_rate: float = 0.1,
 ) -> jnp.ndarray:
     """Training / offline forward: full-utterance encoder with the training
     block mask, speech spliced at patch positions (which may be ragged per
     batch row), causal LLM forward.  Returns logits (B, S, V)."""
     frames = w2v2_mod.forward(
         params["w2v2"], cfg.w2v2, samples, block_frames, max_cache_frames,
-        frame_lengths, remat=remat,
+        frame_lengths, remat=remat, dropout_rng=dropout_rng,
+        dropout_rate=dropout_rate,
     )
     speech = adapter_mod.forward(params["adapter"], cfg.adapter, frames)
     emb = llama_mod.embed(params["llama"], ids)

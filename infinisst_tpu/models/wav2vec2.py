@@ -13,6 +13,9 @@ pytree:
   :692-933 attention with cache).
 - the layer stack is a single ``lax.scan`` over stacked parameters, so the
   whole encoder compiles as one fused program regardless of depth.
+- training dropout (input / attention-output / ffn, the fairseq w2v2
+  defaults) is applied when a ``dropout_rng`` is passed to :func:`forward`;
+  inference paths never drop.
 
 Two entry points:
 - :func:`forward` — offline/training forward over a full utterance with the
@@ -143,6 +146,8 @@ def _encoder_stack(
     cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],  # (L,B,C,H,Dh) x2
     inv_freq: jnp.ndarray,
     remat: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
+    dropout_rate: float = 0.1,
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """Scan the transformer layers; returns output and the new per-layer
     K/V for the processed chunk (to be appended to the cache by the caller).
@@ -151,8 +156,19 @@ def _encoder_stack(
     L = params["layers"]["wq"].shape[0]
     S = x.shape[1]
 
-    def body(h, per_layer):
+    def _drop(rng, t):
+        if rng is None:
+            return t
+        keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, t.shape)
+        return jnp.where(keep, t / (1.0 - dropout_rate), 0.0).astype(t.dtype)
+
+    def body(carry, per_layer):
+        h, rng = carry if dropout_rng is not None else (carry, None)
         lp, ck, cv = per_layer
+        if rng is not None:
+            rng, r1, r2 = jax.random.split(rng, 3)
+        else:
+            r1 = r2 = None
         y = _layer_norm(h, lp["ln1_scale"], lp["ln1_bias"])
         q = _split_heads(y @ lp["wq"] + lp["bq"], H)
         k_new = _split_heads(y @ lp["wk"] + lp["bk"], H)
@@ -164,21 +180,24 @@ def _encoder_stack(
             k, v = k_new, v_new
         attn = _attention(q, k, v, bias, q_pos, k_pos, cfg, inv_freq)
         attn = attn.reshape(*attn.shape[:2], -1) @ lp["wo"] + lp["bo"]
-        h = h + attn
+        h = h + _drop(r1, attn)
         y = _layer_norm(h, lp["ln2_scale"], lp["ln2_bias"])
         y = _gelu(y @ lp["fc1_w"] + lp["fc1_b"])
         y = y @ lp["fc2_w"] + lp["fc2_b"]
-        h = h + y
-        return h, (k_new, v_new)
+        h = h + _drop(r2, y)
+        new_carry = (h, rng) if dropout_rng is not None else h
+        return new_carry, (k_new, v_new)
 
     if cache_kv is None:
 
-        def scan_body(h, lp):
-            return body(h, (lp, None, None))
+        def scan_body(c, lp):
+            return body(c, (lp, None, None))
 
         if remat:
             scan_body = jax.checkpoint(scan_body)
-        x, new_kv = lax.scan(scan_body, x, params["layers"])
+        init = (x, dropout_rng) if dropout_rng is not None else x
+        out_carry, new_kv = lax.scan(scan_body, init, params["layers"])
+        x = out_carry[0] if dropout_rng is not None else out_carry
     else:
 
         def scan_body(h, per):
@@ -211,6 +230,8 @@ def forward(
     max_cache_frames: int,
     frame_lengths: Optional[jnp.ndarray] = None,  # (B,) valid frames
     remat: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
+    dropout_rate: float = 0.1,
 ) -> jnp.ndarray:
     """Offline/training forward with the block-causal training mask.
 
@@ -235,8 +256,15 @@ def forward(
     bias = M.additive(mask)
     pos = lax.broadcasted_iota(jnp.int32, (B, F), 1)
     inv_freq = jnp.asarray(R.encoder_rope_freqs(cfg.head_dim), jnp.float32)
+    if dropout_rng is not None:
+        rng_in, rng_stack = jax.random.split(dropout_rng)
+        keep = jax.random.bernoulli(rng_in, 1.0 - dropout_rate, x.shape)
+        x = jnp.where(keep, x / (1.0 - dropout_rate), 0.0).astype(x.dtype)
+    else:
+        rng_stack = None
     out, _ = _encoder_stack(
-        params, cfg, x, bias, pos, pos, None, inv_freq, remat=remat
+        params, cfg, x, bias, pos, pos, None, inv_freq, remat=remat,
+        dropout_rng=rng_stack, dropout_rate=dropout_rate,
     )
     return out
 

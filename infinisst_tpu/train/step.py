@@ -158,6 +158,8 @@ def make_train_step(
     cpo_beta: float = 0.0,
     freeze: Optional[FreezeConfig] = None,
     remat: bool = False,
+    encoder_dropout: float = 0.0,
+    dropout_seed: int = 0,
 ) -> Callable:
     """Returns train_step(state, batch) -> (state, metrics).  Jit with
     donate_argnums=(0,) and sharding constraints applied by the caller.
@@ -168,7 +170,10 @@ def make_train_step(
     ``remat`` checkpoints the transformer layers to trade FLOPs for
     activation memory (the jax analogue of gradient checkpointing)."""
 
-    def forward(params, batch: Batch):
+    def forward(params, batch: Batch, step=None):
+        rng = None
+        if encoder_dropout > 0 and step is not None:
+            rng = jax.random.fold_in(jax.random.PRNGKey(dropout_seed), step)
         logits = speech_llm.offline_forward(
             params,
             cfg,
@@ -180,13 +185,17 @@ def make_train_step(
             frame_lengths=batch.frame_lengths,
             attention_mask=batch.attention_mask,
             remat=remat,
+            dropout_rng=rng,
+            dropout_rate=encoder_dropout,
         )
         return lm_loss(logits, batch.labels, cpo_beta)
 
     if freeze is None:
 
         def train_step(state: TrainState, batch: Batch):
-            loss, grads = jax.value_and_grad(forward)(state.params, batch)
+            loss, grads = jax.value_and_grad(forward)(
+                state.params, batch, state.step
+            )
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             gnorm = optax.global_norm(grads)
@@ -204,7 +213,7 @@ def make_train_step(
         trainable, frozen = _partition(state.params, mask)
 
         def loss_fn(tr):
-            return forward(_combine(tr, frozen, mask), batch)
+            return forward(_combine(tr, frozen, mask), batch, state.step)
 
         loss, tr_grads = jax.value_and_grad(loss_fn)(trainable)
         zeros = jax.tree.map(jnp.zeros_like, frozen)

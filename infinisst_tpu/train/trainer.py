@@ -74,6 +74,7 @@ class TrainerArgs:
     debug_mode: bool = False  # fast_dev_run equivalent
 
     remat: bool = True  # gradient checkpointing (activation memory)
+    encoder_dropout: float = 0.1  # fairseq w2v2 training dropout
 
     # mesh
     n_data: int = 1
@@ -229,6 +230,11 @@ class Trainer:
                     cpo_beta=self.args.cpo_beta,
                     freeze=self.freeze,
                     remat=self.args.remat,
+                    encoder_dropout=(
+                        self.args.encoder_dropout
+                        if self.args.stage == 1 else 0.0
+                    ),
+                    dropout_seed=self.args.seed,
                 ),
                 donate_argnums=(0,),
             )
