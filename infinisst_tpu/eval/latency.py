@@ -70,16 +70,68 @@ def average_lagging(
     return s / tau
 
 
+def _mwer_segment_bounds(
+    hyp_units: Sequence[str], ref_segments: Sequence[str], unit: str
+) -> list:
+    """mwerSegmenter-style resegmentation: split the hypothesis word stream
+    into |ref| contiguous segments minimising the summed word edit distance
+    to each reference segment (Matusov et al.'s segmenter, which SimulEval's
+    StreamLAAL protocol uses).  DP over (segment, boundary).  Returns
+    exclusive end indices per segment."""
+    refs = [
+        list(r) if unit == "char" else r.split() for r in ref_segments
+    ]
+    H, R = len(hyp_units), len(refs)
+
+    def edit(h_lo, h_hi, ref):
+        h = hyp_units[h_lo:h_hi]
+        prev = list(range(len(h) + 1))
+        for j, rw in enumerate(ref, 1):
+            cur = [j] + [0] * len(h)
+            for i, hw in enumerate(h, 1):
+                cur[i] = min(
+                    prev[i] + 1, cur[i - 1] + 1,
+                    prev[i - 1] + (0 if hw == rw else 1),
+                )
+            prev = cur
+        return prev[len(h)]
+
+    INF = float("inf")
+    # dp[r][b] = min cost of assigning hyp[:b] to refs[:r]
+    dp = [[INF] * (H + 1) for _ in range(R + 1)]
+    back = [[0] * (H + 1) for _ in range(R + 1)]
+    dp[0][0] = 0.0
+    for r in range(1, R + 1):
+        for b in range(H + 1):
+            best, arg = INF, 0
+            for a in range(b + 1):
+                if dp[r - 1][a] == INF:
+                    continue
+                c = dp[r - 1][a] + edit(a, b, refs[r - 1])
+                if c < best:
+                    best, arg = c, a
+            dp[r][b] = best
+            back[r][b] = arg
+    bounds = [0] * R
+    b = H
+    for r in range(R, 0, -1):
+        bounds[r - 1] = b
+        b = back[r][b]
+    return bounds
+
+
 def stream_laal(
     log: InstanceLog,
     ref_segments: Sequence[str],
     unit: str = "word",
     computation_aware: bool = False,
+    max_dp_units: int = 4000,
 ) -> float:
     """StreamLAAL: resegment the continuous hypothesis stream against the
-    reference segments by unit counts (proportional monotonic split), then
-    average LAAL over segments.  This mirrors the StreamAtt/StreamLAAL
-    protocol of scoring long-form streams segment by segment."""
+    reference segments (mwerSegmenter-style minimum-edit-distance DP, with
+    a proportional-split fallback for very long streams), then average LAAL
+    over segments — the StreamAtt/StreamLAAL protocol for scoring
+    long-form streams segment by segment."""
     units = log.units(unit)
     if not units:
         return 0.0
@@ -89,12 +141,16 @@ def stream_laal(
     ]
     total_ref = sum(ref_lens)
     n = len(units)
-    # proportional split of the hypothesis stream across reference segments
-    bounds = []
-    acc = 0
-    for rl in ref_lens:
-        acc += rl
-        bounds.append(round(n * acc / total_ref))
+    if n * len(ref_segments) <= max_dp_units * 40:
+        bounds = _mwer_segment_bounds(
+            [u[0] for u in units], ref_segments, unit
+        )
+    else:  # proportional monotonic fallback for extreme lengths
+        bounds = []
+        acc = 0
+        for rl in ref_lens:
+            acc += rl
+            bounds.append(round(n * acc / total_ref))
     seg_ms = log.source_duration_ms / max(len(ref_segments), 1)
     scores = []
     start = 0

@@ -181,3 +181,16 @@ def test_stream_laal_runs():
     v = stream_laal(log, ["hello world", "again"], "word")
     v_ca = stream_laal(log, ["hello world", "again"], "word", True)
     assert np.isfinite(v) and np.isfinite(v_ca) and v_ca >= v
+
+
+def test_mwer_segment_bounds():
+    from infinisst_tpu.eval.latency import _mwer_segment_bounds
+
+    hyp = "hello world this is great and more words".split()
+    refs = ["hello world", "this is great", "and more words"]
+    bounds = _mwer_segment_bounds(hyp, refs, "word")
+    assert bounds == [2, 5, 8]
+    # noisy hypothesis still splits sensibly (monotone, covers all)
+    hyp2 = "helo world this great and extra more words".split()
+    b2 = _mwer_segment_bounds(hyp2, refs, "word")
+    assert b2[-1] == len(hyp2) and b2 == sorted(b2)
