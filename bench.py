@@ -55,7 +55,7 @@ def main():
     warmup = 3
 
     if mode == "serve":
-        return bench_serve(multiplier, n_chunks)
+        return bench_serve(multiplier, n_chunks, model=model)
 
     if model == "8b":
         # full Llama-3.1-8B architecture, int8 projections, on ONE 16 GB
@@ -131,7 +131,8 @@ def main():
     )
 
 
-def bench_serve(multiplier: int, n_chunks: int, pool: int = 8):
+def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
+                model: str = "bench"):
     """Batched multi-client throughput: N concurrent streams through the
     serving engine; reports decode tokens/sec/chip and per-stream RTF."""
     import time
@@ -155,14 +156,27 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8):
     from infinisst_tpu.models import wav2vec2 as W
     from infinisst_tpu.serve.engine import ServingEngine
 
-    cfg = bench_1chip_config()
     dtype = jnp.bfloat16
     k = jax.random.PRNGKey(0)
-    params = {
-        "w2v2": W.init_params(jax.random.fold_in(k, 0), cfg.w2v2, dtype),
-        "adapter": A.init_params(jax.random.fold_in(k, 1), cfg.adapter, dtype),
-        "llama": L.init_params(jax.random.fold_in(k, 2), cfg.llama, dtype),
-    }
+    if model == "8b":
+        from infinisst_tpu.core.presets import flagship_config
+        from infinisst_tpu.models.quant import init_quantized_llama
+
+        cfg = flagship_config()
+        params = {
+            "w2v2": W.init_params(jax.random.fold_in(k, 0), cfg.w2v2, dtype),
+            "adapter": A.init_params(jax.random.fold_in(k, 1), cfg.adapter, dtype),
+            "llama": init_quantized_llama(jax.random.fold_in(k, 2), cfg.llama),
+        }
+        tag = "8b_int8"
+    else:
+        cfg = bench_1chip_config()
+        params = {
+            "w2v2": W.init_params(jax.random.fold_in(k, 0), cfg.w2v2, dtype),
+            "adapter": A.init_params(jax.random.fold_in(k, 1), cfg.adapter, dtype),
+            "llama": L.init_params(jax.random.fold_in(k, 2), cfg.llama, dtype),
+        }
+        tag = "1chip"
     tok = StubTokenizer(cfg.llama.vocab_size)
     builders = {("English", "German"): PromptBuilder(tok, cfg.tokens)}
     eng = ServingEngine(
@@ -189,7 +203,7 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8):
     n_tok = sum(len(eng.slots[s_].target_ids) for s_ in slots) - n_tok0
     audio_s = n_chunks * chunk / 16000.0  # per stream
     result = {
-        "metric": f"serve_decode_tok_per_s_pool{pool}_m{multiplier}_1chip",
+        "metric": f"serve_decode_tok_per_s_pool{pool}_m{multiplier}_{tag}",
         "value": round(n_tok / wall, 2),
         "unit": "tok/s/chip",
         "vs_baseline": round((n_tok / wall) / 30.0, 3),  # target >=30 tok/s/chip

@@ -209,3 +209,133 @@ def decode_attention_reference(
     vt = jnp.transpose(cache_v, (0, 2, 1, 3)).astype(jnp.float32)
     out = jnp.einsum("bkgc,bkcd->bkgd", w, vt)
     return out.reshape(B, H, Dh).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Single-call batched variant: one pallas_call covers every kv head (grid =
+# (kv_heads, key_tiles)), eliminating the per-head dispatch overhead of the
+# vmapped version above.
+
+
+def _decode_attn_batched_kernel(
+    valid_ref,  # (1,) int32
+    qpos_ref,  # (1,) int32
+    q_ref,  # (1, Gp, Dh) padded query rows for this kv head
+    k_ref,  # (1, tile, Dh)
+    v_ref,  # (1, tile, Dh)
+    inv_freq_ref,  # (1, Dh/2)
+    o_ref,  # (1, Gp, Dh)
+    m_ref,  # (Gp, 1)
+    l_ref,  # (Gp, 1)
+    acc_ref,  # (Gp, Dh)
+    *,
+    tile: int,
+    n_tiles: int,
+    scale: float,
+):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    valid = valid_ref[0]
+    qpos = qpos_ref[0]
+    inv_freq = inv_freq_ref[0]
+
+    Gp = q_ref.shape[1]
+    q = q_ref[0].astype(jnp.float32)
+    qp = jnp.full((Gp,), qpos, jnp.int32)
+    q = _rope_tile(q, qp, inv_freq) * scale
+
+    start = t * tile
+    kpos = start + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)[:, 0]
+    k = _rope_tile(k_ref[0].astype(jnp.float32), kpos, inv_freq)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = jnp.where((kpos < valid)[None, :], s, NEG_INF)
+
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, s.max(-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_ref[:] = l_ref[:] * alpha + p.sum(-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = m_new
+
+    @pl.when(t == n_tiles - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(
+            o_ref.dtype
+        )
+
+
+def decode_attention_batched(
+    q: jnp.ndarray,  # (B, H, Dh) unrotated single-position queries
+    cache_k: jnp.ndarray,  # (B, C, KV, Dh) unrotated
+    cache_v: jnp.ndarray,
+    valid_len: jnp.ndarray,  # (B,) int32
+    q_pos: jnp.ndarray,  # (B,) int32
+    inv_freq: jnp.ndarray,  # (Dh/2,)
+    tile: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One pallas_call per batch element covering all kv heads."""
+    B, H, Dh = q.shape
+    C, KV = cache_k.shape[1], cache_k.shape[2]
+    G = H // KV
+    Gp = max(8, ((G + 7) // 8) * 8)
+    scale = 1.0 / math.sqrt(Dh)
+    n_tiles = (C + tile - 1) // tile
+    assert C % tile == 0, (C, tile)
+
+    qg = q.reshape(B, KV, G, Dh)
+    if Gp != G:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
+    ck = jnp.transpose(cache_k, (0, 2, 1, 3))  # (B, KV, C, Dh)
+    cv = jnp.transpose(cache_v, (0, 2, 1, 3))
+
+    kernel = functools.partial(
+        _decode_attn_batched_kernel, tile=tile, n_tiles=n_tiles, scale=scale
+    )
+
+    def per_b(q_b, k_b, v_b, valid, qpos):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(KV, n_tiles),
+                in_specs=[
+                    pl.BlockSpec((1, Gp, Dh), lambda h, t, v, p: (h, 0, 0)),
+                    pl.BlockSpec((1, tile, Dh), lambda h, t, v, p: (h, t, 0)),
+                    pl.BlockSpec((1, tile, Dh), lambda h, t, v, p: (h, t, 0)),
+                    pl.BlockSpec((1, Dh // 2), lambda h, t, v, p: (0, 0)),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, Gp, Dh), lambda h, t, v, p: (h, 0, 0)
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((Gp, 1), jnp.float32),
+                    pltpu.VMEM((Gp, 1), jnp.float32),
+                    pltpu.VMEM((Gp, Dh), jnp.float32),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((KV, Gp, Dh), q.dtype),
+            interpret=interpret,
+        )(
+            valid[None].astype(jnp.int32),
+            qpos[None].astype(jnp.int32),
+            q_b,
+            k_b,
+            v_b,
+            inv_freq[None].astype(jnp.float32),
+        )
+
+    out = jax.vmap(per_b)(qg, ck, cv, valid_len, q_pos)  # (B, KV, Gp, Dh)
+    return out[:, :, :G].reshape(B, H, Dh)
