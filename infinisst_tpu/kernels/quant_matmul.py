@@ -49,23 +49,31 @@ def quantized_matmul(
         while O % tile_o != 0 and tile_o > 128:
             tile_o -= 128
     assert O % tile_o == 0, (O, tile_o)
-    # sublane alignment for the M dim
-    Mp = max(8, ((M + 7) // 8) * 8)
+    # M tiling: the activation tile (tile_m, D) bf16 must also fit VMEM
+    # alongside the double-buffered weight tile (large-M prefill batches)
+    tile_m = max(8, min(256, (4 * 1024 * 1024 // (2 * D)) // 8 * 8))
+    Mp = ((M + tile_m - 1) // tile_m) * tile_m
     if Mp != M:
         y = jnp.pad(y, ((0, Mp - M), (0, 0)))
 
     out = pl.pallas_call(
         functools.partial(_qmm_kernel, out_dtype=y.dtype),
-        grid=(O // tile_o,),
+        grid=(Mp // tile_m, O // tile_o),
         in_specs=[
-            pl.BlockSpec((Mp, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, tile_o), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_m, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (D, tile_o), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
             # scale passed as (1, O): 1-D operands hit XLA/Mosaic layout
             # tiling mismatches
-            pl.BlockSpec((1, tile_o), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, tile_o), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (Mp, tile_o), lambda i: (0, i), memory_space=pltpu.VMEM
+            (tile_m, tile_o), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((Mp, O), y.dtype),
         interpret=interpret,
