@@ -55,7 +55,8 @@ def main():
     warmup = 3
 
     if mode == "serve":
-        return bench_serve(multiplier, n_chunks, model=model)
+        pool = int(sys.argv[sys.argv.index("--pool") + 1]) if "--pool" in sys.argv else 8
+        return bench_serve(multiplier, n_chunks, pool=pool, model=model)
 
     if model == "8b":
         # full Llama-3.1-8B architecture, int8 projections, on ONE 16 GB

@@ -167,7 +167,7 @@ def decode_step(
     new_kv = (scanned[0], scanned[1])
     probes = scanned[2]
     h = _rms_norm(h, params["final_ln"], cfg.rms_norm_eps)
-    logits = mm(h, params["lm_head"])
+    logits = mm(h, params["lm_head"])[..., : cfg.vocab_size]
 
     # append new K/V at valid_len (per batch element)
     def append(buf, new):
@@ -354,7 +354,7 @@ def beam_token_step(
         (params["layers"], prefix.k, prefix.v, gen_k, gen_v),
     )
     h = _rms_norm(h, params["final_ln"], cfg.rms_norm_eps)
-    logits = mm(h, params["lm_head"])[:, 0]  # (beam, V)
+    logits = mm(h, params["lm_head"])[:, 0, : cfg.vocab_size]  # (beam, V)
     if attn_probe is not None:
         layer = attn_probe[0] % probes.shape[0]
         attn_idx = probes[layer]

@@ -71,6 +71,12 @@ def init_quantized_llama(key, cfg, dtype=None, embed_dtype=None):
                          jnp.float32)
         return {"q": q, "scale": scale}
 
+    def qmat_flat(k, shape):
+        q = jax.random.randint(k, shape, -127, 128, jnp.int8)
+        scale = jnp.full((shape[-1],), 1.0 / (127 * math.sqrt(shape[0])),
+                         jnp.float32)
+        return {"q": q, "scale": scale}
+
     ks = jax.random.split(key, 10)
     layers = {
         "input_ln": jnp.ones((L, D), embed_dtype),
@@ -83,12 +89,17 @@ def init_quantized_llama(key, cfg, dtype=None, embed_dtype=None):
         "w_up": qmat(ks[5], (D, I)),
         "w_down": qmat(ks[6], (I, D)),
     }
+    # int8 lm_head with vocab padded to a 512 multiple; pad-column scales
+    # are zero so their logits are exactly 0 and masked by the NEG_INF
+    # suppression in the decode path (mm callers slice back to V).
+    Vp = ((V + 511) // 512) * 512
+    head = qmat_flat(ks[8], (D, Vp))
+    head["scale"] = head["scale"].at[V:].set(0.0)
     return {
         "embed": jax.random.normal(ks[7], (V, D), embed_dtype) * 0.02,
         "layers": layers,
         "final_ln": jnp.ones((D,), embed_dtype),
-        "lm_head": jax.random.normal(ks[8], (D, V), embed_dtype)
-        / math.sqrt(D),
+        "lm_head": head,
     }
 
 
@@ -106,7 +117,13 @@ def quantize_llama_params(
         assert w.shape[-1] % 128 == 0, (k, w.shape)
         layers[k] = _quantize_stacked(w)
     out["layers"] = layers
-    if quantize_lm_head and params["lm_head"].shape[-1] % 512 == 0:
-        q, s = quantize_weight(params["lm_head"], axis=0)
+    if quantize_lm_head:
+        w = params["lm_head"]
+        V = w.shape[-1]
+        Vp = ((V + 511) // 512) * 512
+        if Vp != V:
+            w = jnp.pad(w, ((0, 0), (0, Vp - V)))
+        q, s = quantize_weight(w, axis=0)
+        s = s.at[V:].set(0.0) if Vp != V else s
         out["lm_head"] = {"q": q, "scale": s.astype(jnp.float32)}
     return out
