@@ -50,8 +50,18 @@ def quantized_matmul(
             tile_o -= 128
     assert O % tile_o == 0, (O, tile_o)
     # M tiling: the activation tile (tile_m, D) bf16 must also fit VMEM
-    # alongside the double-buffered weight tile (large-M prefill batches)
-    tile_m = max(8, min(256, (4 * 1024 * 1024 // (2 * D)) // 8 * 8))
+    # alongside the double-buffered weight tile (large-M prefill batches).
+    # Never pad small decode batches up to the tile budget.
+    m8 = max(8, ((M + 7) // 8) * 8)
+    budget = max(8, min(256, (4 * 1024 * 1024 // (2 * D)) // 8 * 8))
+    if m8 <= budget:
+        tile_m = m8
+    else:
+        tile_m = next(
+            (t for t in (256, 192, 128, 96, 64, 32, 16, 8)
+             if t <= budget and m8 % t == 0),
+            min(128, budget),
+        )
     Mp = ((M + tile_m - 1) // tile_m) * tile_m
     if Mp != M:
         y = jnp.pad(y, ((0, Mp - M), (0, 0)))

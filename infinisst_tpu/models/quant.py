@@ -89,17 +89,17 @@ def init_quantized_llama(key, cfg, dtype=None, embed_dtype=None):
         "w_up": qmat(ks[5], (D, I)),
         "w_down": qmat(ks[6], (I, D)),
     }
-    # int8 lm_head with vocab padded to a 512 multiple; pad-column scales
-    # are zero so their logits are exactly 0 and masked by the NEG_INF
-    # suppression in the decode path (mm callers slice back to V).
-    Vp = ((V + 511) // 512) * 512
-    head = qmat_flat(ks[8], (D, Vp))
-    head["scale"] = head["scale"].at[V:].set(0.0)
+    # lm_head stays bf16: an int8 head (vocab padded to 512) was measured
+    # SLOWER end-to-end (the in-kernel int8->bf16 convert is compute-bound
+    # at 128k output width); quantize_llama_params(quantize_lm_head=True)
+    # remains available for experimentation.
+    del qmat_flat
     return {
         "embed": jax.random.normal(ks[7], (V, D), embed_dtype) * 0.02,
         "layers": layers,
         "final_ln": jnp.ones((D,), embed_dtype),
-        "lm_head": head,
+        "lm_head": jax.random.normal(ks[8], (D, V), embed_dtype)
+        / math.sqrt(D),
     }
 
 
