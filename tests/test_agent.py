@@ -104,3 +104,20 @@ def test_agent_tail_chunk():
     )
     assert not act.is_read() and act.finished
     assert int(agent.enc_state.n_frames[0]) == 96 + 48
+
+
+@pytest.mark.slow
+def test_update_multiplier_mid_stream():
+    """m change mid-stream (ref: agents/infinisst.py:125-128): device state
+    is shape-stable; chunk geometry and compiled fns follow the new m."""
+    agent = make_agent(multiplier=1)
+    rng = np.random.RandomState(7)
+    agent.push(rng.randn(15360).astype(np.float32) * 0.1)
+    assert agent.chunk_samples == 15360
+    agent.update_multiplier(2)
+    assert agent.chunk_samples == 30720
+    assert agent.max_new == 20
+    act = agent.push(rng.randn(30720).astype(np.float32) * 0.1, finished=True)
+    assert not act.is_read() and act.finished
+    # 1 chunk of m=1 (48 frames) + 1 chunk of m=2 (96 frames)
+    assert int(agent.enc_state.n_frames[0]) == 48 + 96
