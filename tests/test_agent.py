@@ -121,3 +121,29 @@ def test_update_multiplier_mid_stream():
     assert not act.is_read() and act.finished
     # 1 chunk of m=1 (48 frames) + 1 chunk of m=2 (96 frames)
     assert int(agent.enc_state.n_frames[0]) == 48 + 96
+
+
+@pytest.mark.slow
+def test_agent_unbounded_stream_bounded_cache():
+    """Config-4 condition: a long stream with many eviction cycles keeps the
+    LLM cache bounded and the agent emitting (the unbounded-audio claim)."""
+    agent = make_agent(max_llm_cache_size=96, capacity=256)
+    rng = np.random.RandomState(11)
+    chunk = agent.chunk_samples
+    writes = 0
+    peak = 0
+    for i in range(40):
+        act = agent.push(rng.randn(chunk).astype(np.float32) * 0.1,
+                         finished=(i == 39))
+        writes += 0 if act.is_read() else 1
+        peak = max(peak, agent.llm_cache_len)
+    assert not act.is_read() and act.finished
+    assert int(agent.enc_state.n_frames[0]) == 40 * 48
+    # cache never exceeded limit + system prompt + one chunk's tokens
+    bound = 96 + agent.system_prompt_size + 21 + agent.max_new
+    assert peak <= bound, (peak, bound)
+    # physical cache is consistent with the logical mirror at the end
+    assert agent.llm_cache_len == (
+        int(agent.dec_state.valid_len[0]) + agent.pend_n_host
+    )
+    assert writes >= 30  # stream kept producing output throughout
