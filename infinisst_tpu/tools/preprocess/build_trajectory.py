@@ -109,10 +109,9 @@ def trajectory_for_utterance(
     for s, t in pairs:
         src2tgt[s] = max(src2tgt.get(s, -1), t)
 
-    n_steps = max(1, int((duration_s + step_s - 1e-6) // step_s) + (
-        1 if duration_s % step_s > 1e-6 else 0
-    ))
-    n_steps = max(n_steps, 1)
+    import math
+
+    n_steps = max(1, math.ceil(duration_s / step_s - 1e-9))
     traj: List[str] = []
     emitted = 0
     for k in range(n_steps):
