@@ -87,6 +87,10 @@ class ServingEngine:
         self.window_samples = CONV_LEFT_CONTEXT + 2 * self.chunk_samples
 
         w, ll = cfg.w2v2, cfg.llama
+        # device-resident rolling windows (uploading full f32 windows per
+        # tick dominates on high-latency links; only int16 chunks go up)
+        self.windows = jnp.zeros((pool_size, self.window_samples), jnp.float32)
+        self.valid_len_host = np.zeros((pool_size,), np.int64)
         self.enc_state = init_encoder_state(
             w.encoder_layers, pool_size, stream_cfg.max_cache_frames,
             w.encoder_attention_heads, w.head_dim, dtype,
@@ -117,7 +121,6 @@ class ServingEngine:
                     active=True,
                     client_id=client_id,
                     lang_pair=lang_pair,
-                    window=np.zeros(self.window_samples, np.float32),
                 )
                 self._reset_slot_state(i)
                 return i
@@ -128,6 +131,8 @@ class ServingEngine:
         self._reset_slot_state(slot)
 
     def _reset_slot_state(self, i: int):
+        self.windows = self.windows.at[i].set(0.0)
+        self.valid_len_host[i] = 0
         z = lambda a: a.at[:, i].set(0)  # noqa: E731
         self.enc_state = self.enc_state._replace(
             k=z(self.enc_state.k),
@@ -153,8 +158,16 @@ class ServingEngine:
         max_new = self.max_new
         eos = cfg.tokens.eos
 
-        def step(params, enc, dec, windows, ids, valid_mask, patch_starts,
-                 row_active, hist, hist_len):
+        chunk_samples = self.chunk_samples
+
+        def step(params, enc, dec, windows, chunks_i16, ids, valid_mask,
+                 patch_starts, row_active, hist, hist_len):
+            # roll the device windows with this tick's audio; inactive rows
+            # receive zeros (harmless — their outputs are discarded)
+            new = chunks_i16.astype(jnp.float32) / 32768.0
+            windows = jnp.concatenate(
+                [windows[:, chunk_samples:], new], axis=1
+            )
             # encode all rows (inactive rows carry zeros; harmless)
             speech, enc2 = speech_llm.encode_chunk(
                 params, cfg, enc, windows, chunk_frames,
@@ -234,9 +247,9 @@ class ServingEngine:
             (dec3, _, toks, n_tok, _, _, _), _ = jax.lax.scan(
                 body, init, None, length=max_new
             )
-            return enc2, dec3, toks, n_tok
+            return enc2, dec3, windows, toks, n_tok
 
-        return jax.jit(step, donate_argnums=(1, 2))
+        return jax.jit(step, donate_argnums=(1, 2, 3))
 
     def _evict_impl(self, dec, keep_len, sys_len):
         return llama_mod.evict_cache(dec, keep_len, sys_len)
@@ -256,7 +269,7 @@ class ServingEngine:
             return {}
 
         B = self.pool
-        windows = np.zeros((B, self.window_samples), np.float32)
+        chunks = np.zeros((B, self.chunk_samples), np.int16)
         patch_starts = np.zeros((B,), np.int32)
         row_active = np.zeros((B,), bool)
         hist = np.full(
@@ -274,8 +287,7 @@ class ServingEngine:
                     [seg, np.zeros(self.chunk_samples - len(seg), np.float32)]
                 )
             s.pending = s.pending[self.chunk_samples :]
-            s.window = np.concatenate([s.window[len(seg) :], seg])
-            windows[i] = s.window
+            chunks[i] = np.clip(seg * 32768.0, -32768, 32767).astype(np.int16)
             builder = self.builders[s.lang_pair]
             pr = builder.chunk_prompt(self.m, first=s.first_chunk)
             if s.first_chunk:
@@ -294,9 +306,9 @@ class ServingEngine:
             valid[i, : len(pr.ids)] = 1
             patch_starts[i] = pr.patch_start
 
-        enc2, dec2, toks, n_tok = self._step_fn(
-            self.params, self.enc_state, self.dec_state,
-            jnp.asarray(windows), jnp.asarray(ids), jnp.asarray(valid),
+        enc2, dec2, self.windows, toks, n_tok = self._step_fn(
+            self.params, self.enc_state, self.dec_state, self.windows,
+            jnp.asarray(chunks), jnp.asarray(ids), jnp.asarray(valid),
             jnp.asarray(patch_starts), jnp.asarray(row_active),
             jnp.asarray(hist), jnp.asarray(hist_len),
         )
@@ -310,6 +322,7 @@ class ServingEngine:
             new_ids = toks[i, :n].tolist()
             s.target_ids.extend(new_ids)
             s.cache_len += len(pr.ids) + n
+            self.valid_len_host[i] += len(pr.ids) + n
             s.cache_checkpoints.append(s.cache_len)
             s.first_chunk = False
             if s.finished_input and len(s.pending) == 0:
@@ -345,9 +358,8 @@ class ServingEngine:
             else 0
         )
         # evict only this row: batched gather with per-row keep (other rows
-        # keep their full valid_len)
-        keep = jax.device_get(self.dec_state.valid_len)
-        keep_len = keep.copy()
+        # keep their full valid_len, mirrored on host — no device fetch)
+        keep_len = self.valid_len_host.copy()
         keep_len[i] = new_len
         sys_lens = np.zeros_like(keep_len)
         sys_lens[i] = sys_len
@@ -359,3 +371,4 @@ class ServingEngine:
             jnp.asarray(sys_lens, jnp.int32),
         )
         s.cache_len = new_len + sys_len
+        self.valid_len_host[i] = s.cache_len
