@@ -141,11 +141,30 @@ def stream_laal(
     ]
     total_ref = sum(ref_lens)
     n = len(units)
-    if n * len(ref_segments) <= max_dp_units * 40:
+    bounds = None
+    # native C++ DP first (exact for short streams, banded for long ones)
+    try:
+        from infinisst_tpu.native import mwer_segment_native
+
+        vocab: dict = {}
+
+        def intern(w):
+            return vocab.setdefault(w, len(vocab))
+
+        hyp_ids = [intern(u[0]) for u in units]
+        ref_ids = [
+            [intern(w) for w in (list(r) if unit == "char" else r.split())]
+            for r in ref_segments
+        ]
+        band = 0 if n * len(ref_segments) <= max_dp_units * 40 else 200
+        bounds = mwer_segment_native(hyp_ids, ref_ids, band=band)
+    except Exception:
+        bounds = None
+    if bounds is None and n * len(ref_segments) <= max_dp_units * 40:
         bounds = _mwer_segment_bounds(
             [u[0] for u in units], ref_segments, unit
         )
-    else:  # proportional monotonic fallback for extreme lengths
+    if bounds is None:  # proportional monotonic fallback
         bounds = []
         acc = 0
         for rl in ref_lens:

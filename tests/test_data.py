@@ -194,3 +194,32 @@ def test_mwer_segment_bounds():
     hyp2 = "helo world this great and extra more words".split()
     b2 = _mwer_segment_bounds(hyp2, refs, "word")
     assert b2[-1] == len(hyp2) and b2 == sorted(b2)
+
+
+def test_native_mwer_matches_python():
+    from infinisst_tpu.native import mwer_segment_native
+    from infinisst_tpu.eval.latency import _mwer_segment_bounds
+
+    rng = np.random.RandomState(0)
+    vocab = [f"w{i}" for i in range(30)]
+    refs, hyp = [], []
+    for _ in range(5):
+        seg = [vocab[i] for i in rng.randint(0, 30, rng.randint(2, 7))]
+        refs.append(" ".join(seg))
+        noisy = [w if rng.rand() > 0.2 else vocab[rng.randint(30)]
+                 for w in seg]
+        hyp.extend(noisy)
+    py_bounds = _mwer_segment_bounds(hyp, refs, "word")
+
+    interned = {}
+    def iid(w):
+        return interned.setdefault(w, len(interned))
+    hyp_ids = [iid(w) for w in hyp]
+    ref_ids = [[iid(w) for w in r.split()] for r in refs]
+    nat = mwer_segment_native(hyp_ids, ref_ids, band=0)
+    if nat is None:
+        pytest.skip("no g++ available")
+    assert nat == py_bounds
+    # banded mode stays monotone and covers the stream
+    nat_b = mwer_segment_native(hyp_ids, ref_ids, band=3)
+    assert nat_b[-1] == len(hyp) and nat_b == sorted(nat_b)
