@@ -72,6 +72,29 @@ class CollatorBase:
         self.t = model_cfg.tokens
         self.speech_segment_size = block_size // 4
 
+    def validate(self, dataset) -> int:
+        """Dataset-wide invariant sweep (the reference's manual validate()
+        methods, train/dataset.py:465-478, :571-638): every trajectory's
+        length must equal its padded speech-token count / segment size.
+        Returns the number of rows checked; raises on violation."""
+        if getattr(dataset, "trajectories", None) is None:
+            return 0
+        checked = 0
+        for i in range(len(dataset)):
+            traj = dataset.trajectories[i]
+            if traj is None:
+                continue
+            n = dataset.n_frames[i]
+            if n % SP_SEG_SAMPLES != 0:
+                n += SP_SEG_SAMPLES - n % SP_SEG_SAMPLES
+            n += CONV_LEFT_CONTEXT
+            n_tok = speech_token_len(self.cfg, n)
+            assert len(traj) == n_tok // self.speech_segment_size, (
+                dataset.ids[i], len(traj), n_tok, self.speech_segment_size,
+            )
+            checked += 1
+        return checked
+
     def _speech_batch(self, samples, pad_to_unit: bool):
         """Pad each source (optionally to 960 ms units), prepend the
         399-sample zero offset, batch-pad.  Returns (speech, frame_lengths,

@@ -223,3 +223,27 @@ def test_native_mwer_matches_python():
     # banded mode stays monotone and covers the stream
     nat_b = mwer_segment_native(hyp_ids, ref_ids, band=3)
     assert nat_b[-1] == len(hyp) and nat_b == sorted(nat_b)
+
+
+def test_collator_validate_sweep():
+    from infinisst_tpu.data.collators import TrajectoryCollator
+
+    class DS:
+        def __init__(self):
+            self.ids = ["a", "b"]
+            self.n_frames = [15360, 2 * 15360]
+            self.trajectories = [["one"], ["one", "two"]]
+
+        def __len__(self):
+            return 2
+
+    coll = TrajectoryCollator(BUILDER, MCFG, block_size=48)
+    assert coll.validate(DS()) == 2
+
+    class BadDS(DS):
+        def __init__(self):
+            super().__init__()
+            self.trajectories = [["one", "extra"], ["one", "two"]]
+
+    with pytest.raises(AssertionError):
+        coll.validate(BadDS())
