@@ -107,8 +107,10 @@ def build_agent(args):
     if tok_path:
         from transformers import AutoTokenizer
 
+        from infinisst_tpu.data.template import register_special_tokens
+
         tok = AutoTokenizer.from_pretrained(tok_path, use_fast=False)
-        tok.pad_token = "<|finetune_right_pad_id|>"
+        register_special_tokens(tok, cfg)
         tokenizer = HFTokenizerAdapter(tok)
     else:
         tokenizer = StubTokenizer(cfg.llama.vocab_size)

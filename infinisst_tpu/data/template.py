@@ -85,6 +85,40 @@ class HFTokenizerAdapter:
         )
 
 
+def register_special_tokens(tok, model_cfg, max_multiplier: int = 4):
+    """Register the 7 extra tokens on a HF tokenizer and verify their ids
+    line up with the model config (the reference's preprocess(),
+    model/llm.py:149-190; ids follow the base vocab: sp_patch == 128256,
+    agents/alignatt.py:142)."""
+    tok.add_tokens(
+        [
+            DEFAULT_SPEECH_PATCH_TOKEN,
+            DEFAULT_SPEECH_START_TOKEN,
+            DEFAULT_SPEECH_END_TOKEN,
+        ]
+        + [DEFAULT_LATENCY_TOKEN.format(i) for i in range(1, max_multiplier + 1)],
+        special_tokens=True,
+    )
+    tok.pad_token = "<|finetune_right_pad_id|>"
+    t = model_cfg.tokens
+    got = tok.convert_tokens_to_ids(
+        [
+            DEFAULT_SPEECH_PATCH_TOKEN,
+            DEFAULT_SPEECH_START_TOKEN,
+            DEFAULT_SPEECH_END_TOKEN,
+        ]
+    )
+    expect = [t.sp_patch, t.sp_start, t.sp_end]
+    assert got == expect, (
+        f"added-token ids {got} do not match the model config {expect}; "
+        "check the tokenizer matches the released checkpoints"
+    )
+    assert len(tok) <= model_cfg.llama.vocab_size, (
+        len(tok), model_cfg.llama.vocab_size,
+    )
+    return tok
+
+
 @dataclass
 class ChunkPrompt:
     ids: np.ndarray  # (S,) int32

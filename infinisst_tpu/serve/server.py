@@ -156,8 +156,10 @@ def main():  # pragma: no cover - network entrypoint
     if args.tokenizer_path:
         from transformers import AutoTokenizer
 
+        from infinisst_tpu.data.template import register_special_tokens
+
         tok = AutoTokenizer.from_pretrained(args.tokenizer_path, use_fast=False)
-        tok.pad_token = "<|finetune_right_pad_id|>"
+        register_special_tokens(tok, cfg)
         tokenizer = HFTokenizerAdapter(tok)
     else:
         tokenizer = StubTokenizer(cfg.llama.vocab_size)
