@@ -351,3 +351,119 @@ def beam_search(
         tokens=tokens, n_tokens=n_tokens, score=score, steps=t,
         hit_eos=use_fin, attn_idx=attn_idx,
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampling decode (the do_sample path: DPO sampling dumps, ref:
+# agents/infinisst.py:196, options top_p/top_k/epsilon_cutoff/temperature)
+
+
+class SampleSpec(NamedTuple):
+    max_new_tokens: int
+    eos_id: int
+    pad_id: int
+    temperature: float = 1.0
+    top_p: float = 1.0
+    top_k: int = 0
+    epsilon_cutoff: float = 0.0
+    no_repeat_ngram_size: int = 0
+    repetition_penalty: float = 1.0
+
+
+def sample_decode(
+    params,
+    cfg: LlamaConfig,
+    prefix: DecoderState,  # batch 1
+    first_logits: jnp.ndarray,  # (V,)
+    prompt_buf: jnp.ndarray,  # (Tp,)
+    prompt_len: jnp.ndarray,
+    history: jnp.ndarray,  # (Lh,)
+    history_len: jnp.ndarray,
+    spec: SampleSpec,
+    rng: jax.Array,
+    encoder_ngram_size: int = 0,
+    suppress_mask: Optional[jnp.ndarray] = None,
+) -> BeamResult:
+    """Single-sequence ancestral sampling with the HF filter stack
+    (temperature -> top-k -> top-p -> epsilon), sharing the ngram /
+    repetition processors and the shared-prefix token step with beam
+    search."""
+    G = spec.max_new_tokens
+    KV, Dh, L = cfg.num_kv_heads, cfg.head_dim, cfg.num_layers
+    Tp = prompt_buf.shape[0]
+    Tbuf = Tp + G
+
+    seq_buf0 = jnp.concatenate(
+        [prompt_buf, jnp.full((G,), spec.pad_id, prompt_buf.dtype)]
+    )[None]
+    gen_k0 = jnp.zeros((L, 1, G, KV, Dh), prefix.k.dtype)
+
+    def process(logits, seq_buf, seq_len):
+        scores = jax.nn.log_softmax(
+            lp.temperature_scale(logits.astype(jnp.float32), spec.temperature),
+            -1,
+        )[None]
+        scores = lp.repetition_penalty(
+            scores, seq_buf, jnp.arange(Tbuf)[None] < seq_len[:, None],
+            spec.repetition_penalty,
+        )
+        scores = lp.no_repeat_ngram(
+            scores, seq_buf, seq_len, spec.no_repeat_ngram_size
+        )
+        if encoder_ngram_size > 0:
+            scores = lp.encoder_no_repeat_ngram(
+                scores, history[None], history_len[None], seq_buf, seq_len,
+                encoder_ngram_size,
+            )
+        if suppress_mask is not None:
+            scores = lp.suppress_tokens(scores, suppress_mask)
+        scores = lp.top_k_filter(scores, spec.top_k)
+        scores = lp.top_p_filter(scores, spec.top_p)
+        scores = lp.epsilon_filter(scores, spec.epsilon_cutoff)
+        return scores[0]
+
+    def step_fn(state):
+        (t, done, logits_cur, key, seq_buf, seq_len, tokens, gk, gv,
+         n_tok, hit_eos) = state
+        scores = process(logits_cur, seq_buf, seq_len)
+        key, sub = jax.random.split(key)
+        nxt = jax.random.categorical(sub, scores).astype(jnp.int32)
+        is_eos = nxt == spec.eos_id
+        emit = (~done) & (~is_eos)
+        tokens = jnp.where(emit, tokens.at[t].set(nxt), tokens)
+        seq_buf = jnp.where(
+            emit, seq_buf.at[0, seq_len[0]].set(nxt), seq_buf
+        )
+        seq_len = seq_len + emit.astype(jnp.int32)
+        n_tok = n_tok + emit.astype(jnp.int32)
+        hit_eos = hit_eos | is_eos
+        done_now = done | is_eos | (t + 1 >= G)
+
+        def fwd(args):
+            gk, gv = args
+            x = llama_mod.embed(params, nxt[None, None])
+            lg, gk2, gv2, _ = llama_mod.beam_token_step(
+                params, cfg, prefix, gk, gv, t, x
+            )
+            return lg[0], gk2, gv2
+
+        def skip(args):
+            gk, gv = args
+            return logits_cur, gk, gv
+
+        logits_next, gk, gv = lax.cond(done_now, skip, fwd, (gk, gv))
+        return (t + 1, done_now, logits_next, key, seq_buf, seq_len,
+                tokens, gk, gv, n_tok, hit_eos)
+
+    init = (
+        jnp.array(0, jnp.int32), jnp.array(False), first_logits, rng,
+        seq_buf0, prompt_len[None].astype(jnp.int32),
+        jnp.full((G,), spec.pad_id, jnp.int32), gen_k0,
+        jnp.zeros_like(gen_k0), jnp.array(0, jnp.int32), jnp.array(False),
+    )
+    final = lax.while_loop(lambda s: (~s[1]) & (s[0] < G), step_fn, init)
+    (t, _, _, _, _, _, tokens, _, _, n_tok, hit_eos) = final
+    return BeamResult(
+        tokens=tokens, n_tokens=n_tok, score=jnp.float32(0.0), steps=t,
+        hit_eos=hit_eos, attn_idx=jnp.full((G,), -1, jnp.int32),
+    )

@@ -102,3 +102,53 @@ def test_beam_matches_hf(seed, max_new):
     )
     ours = np.asarray(res.tokens[: int(res.n_tokens)]).tolist()
     assert ours == hf_gen, (ours, hf_gen, hf_hit_eos, bool(res.hit_eos))
+
+
+@pytest.mark.slow
+def test_sample_decode_runs_and_respects_filters():
+    """Sampling path: top-k=1 must reduce to greedy; filters keep the
+    sampler inside the allowed set."""
+    from infinisst_tpu.decode.beam import SampleSpec, sample_decode
+    from infinisst_tpu.streaming.state import init_decoder_state
+
+    hf, cfg, params = _models(0)
+    prompt = np.random.RandomState(1).randint(5, 120, (1, 6))
+    st = init_decoder_state(
+        cfg.num_layers, 1, 64, cfg.num_kv_heads, cfg.head_dim,
+        dtype=jnp.float32,
+    )
+    x = L.embed(params, jnp.asarray(prompt))
+    logits, st = L.decode_step(params, cfg, st, x)
+
+    spec = SampleSpec(
+        max_new_tokens=6, eos_id=2, pad_id=3, top_k=1, temperature=1.0,
+    )
+    res = sample_decode(
+        params, cfg, st, logits[0, -1], jnp.asarray(prompt[0]),
+        jnp.asarray(prompt.shape[1], jnp.int32),
+        jnp.zeros((4,), jnp.int32), jnp.asarray(0, jnp.int32),
+        spec, jax.random.PRNGKey(0),
+    )
+    # top-k=1 == greedy: must equal a second run with another rng key
+    res2 = sample_decode(
+        params, cfg, st, logits[0, -1], jnp.asarray(prompt[0]),
+        jnp.asarray(prompt.shape[1], jnp.int32),
+        jnp.zeros((4,), jnp.int32), jnp.asarray(0, jnp.int32),
+        spec, jax.random.PRNGKey(123),
+    )
+    a = np.asarray(res.tokens[: int(res.n_tokens)])
+    b = np.asarray(res2.tokens[: int(res2.n_tokens)])
+    np.testing.assert_array_equal(a, b)
+    assert int(res.n_tokens) > 0
+
+    # stochastic mode produces valid ids and terminates
+    spec2 = SampleSpec(max_new_tokens=6, eos_id=2, pad_id=3, top_p=0.9,
+                       temperature=1.3)
+    res3 = sample_decode(
+        params, cfg, st, logits[0, -1], jnp.asarray(prompt[0]),
+        jnp.asarray(prompt.shape[1], jnp.int32),
+        jnp.zeros((4,), jnp.int32), jnp.asarray(0, jnp.int32),
+        spec2, jax.random.PRNGKey(7),
+    )
+    toks = np.asarray(res3.tokens[: int(res3.n_tokens)])
+    assert ((toks >= 0) & (toks < 128)).all()
