@@ -10,11 +10,13 @@ baseline RTF on L40S for En-De m=1 is 0.382 (plots/plot.ipynb cell 9,
 BASELINE.md).  vs_baseline is the speedup factor baseline_rtf / our_rtf
 (>1 = faster than the reference).
 
-Model scale: wav2vec2-large encoder (reference scale) + a 1.5B-class
-decoder (``bench_1chip_config``) — Llama-3.1-8B bf16 does not fit a single
-v5e chip; the 8B path runs under tensor parallelism (see
-__graft_entry__.dryrun_multichip).  Weights are random; RTF does not depend
-on weight values.
+Model scale (default): wav2vec2-large encoder (reference scale) + a
+1.5B-class decoder (``bench_1chip_config``) — Llama-3.1-8B bf16 does not
+fit a single 16 GB v5e chip.  ``--model 8b`` runs the full 8B architecture
+single-chip with int8 projections; the bf16 8B path runs under tensor
+parallelism (see __graft_entry__.dryrun_multichip).  ``--mode serve``
+measures batched multi-client decode throughput.  Weights are random; RTF
+does not depend on weight values.
 """
 
 import json
