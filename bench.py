@@ -10,10 +10,12 @@ baseline RTF on L40S for En-De m=1 is 0.382 (plots/plot.ipynb cell 9,
 BASELINE.md).  vs_baseline is the speedup factor baseline_rtf / our_rtf
 (>1 = faster than the reference).
 
-Model scale (default): wav2vec2-large encoder (reference scale) + a
-1.5B-class decoder (``bench_1chip_config``) — Llama-3.1-8B bf16 does not
-fit a single 16 GB v5e chip.  ``--model 8b`` runs the full 8B architecture
-single-chip with int8 projections; the bf16 8B path runs under tensor
+Model scale (default): the FLAGSHIP config — wav2vec2-large encoder
+(reference scale) + the full Llama-3.1-8B architecture, run single-chip
+with int8 projections (bf16 8B does not fit a 16 GB v5e chip; the
+reference needs a 48 GB L40S).  This is the honest apples-to-apples
+comparison against the reference's 8B RTF numbers.  ``--model bench``
+runs a 1.5B-class decoder instead; the bf16 8B path runs under tensor
 parallelism (see __graft_entry__.dryrun_multichip).  ``--mode serve``
 measures batched multi-client decode throughput.  Weights are random; RTF
 does not depend on weight values.
@@ -53,7 +55,7 @@ def main():
     n_chunks = int(sys.argv[sys.argv.index("--chunks") + 1]) if "--chunks" in sys.argv else 12
     mode = sys.argv[sys.argv.index("--mode") + 1] if "--mode" in sys.argv else "stream"
     quantize = "--quantize" in sys.argv
-    model = sys.argv[sys.argv.index("--model") + 1] if "--model" in sys.argv else "bench"
+    model = sys.argv[sys.argv.index("--model") + 1] if "--model" in sys.argv else "8b"
     warmup = 3
 
     if mode == "serve":

@@ -199,8 +199,11 @@ class AlignAttAgent(InfiniSSTAgent):
             real_speech = int(
                 np.ceil(len(src) / (SAMPLES_PER_SPEECH_TOKEN * 12)) * 12
             )
+            # the reference scans range(len(output_ids)-1) — the final beam
+            # token is ALWAYS withheld mid-stream, even when every token
+            # attends outside the last frame_num frames (ref :150-167)
             cnt = 0
-            for i, a in enumerate(attn_idx):
+            for i, a in enumerate(attn_idx[: max(n_tok - 1, 0)]):
                 if a >= real_speech - opts.frame_num:
                     break
                 states.most_attended_indices.append(
@@ -211,8 +214,9 @@ class AlignAttAgent(InfiniSSTAgent):
             if "�" in self.tokenizer.decode(prediction_ids):
                 prediction_ids = prediction_ids[:-1]
             if opts.target_lang != "Chinese":
-                # word-boundary trim (ref :170-179)
-                if cnt < len(out_ids) and cnt < n_tok and not self.tokenizer.decode(
+                # word-boundary trim (ref :170-179; guard mirrors the
+                # reference's cnt < len(output_ids)-1 bound)
+                if cnt < n_tok - 1 and not self.tokenizer.decode(
                     [out_ids[cnt]]
                 ).startswith(" "):
                     prediction_ids = prediction_ids[:-1]

@@ -21,7 +21,11 @@ def add_args(p: argparse.ArgumentParser):
     # speech encoder args (ref: agents/options.py add_speech_encoder_args)
     p.add_argument("--w2v2-path", type=str, default=None)
     p.add_argument("--w2v2-type", type=str, default="w2v2")
-    p.add_argument("--ctc-finetuned", type=str, default="True")
+    p.add_argument("--ctc-finetuned", type=str, default="True",
+                   help="accepted for CLI parity; the converter auto-"
+                   "detects CTC-finetuned (w2v_encoder.w2v_model.*) vs "
+                   "bare-SSL key layouts (convert/from_torch.py "
+                   "strip_ctc_prefix, ref: model/speech_encoder.py:157-171)")
     p.add_argument("--length-shrink-cfg", type=str, default=None,
                    help="accepted for CLI parity; the adapter geometry is "
                    "fixed to [(1024,2,2)]*2 in the model preset")

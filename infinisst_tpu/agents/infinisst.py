@@ -267,13 +267,20 @@ class InfiniSSTAgent(SpeechToTextAgent):
                 encoder_ngram_size=enc_ng,
                 suppress_mask=suppress,
             )
-            # new pending = this chunk's winning tokens (committed next call)
-            pend_out = jnp.full((P,), cfg.tokens.pad, jnp.int32)
-            pend_out = jax.lax.dynamic_update_slice(pend_out, res.tokens, (0,))
             # emitted tokens: drop the final one when the cap was hit
             # without EOS (ref quirk: sequences[..., :-1], infinisst.py:363)
             n_emit = jnp.where(
                 res.hit_eos, res.n_tokens, jnp.maximum(res.n_tokens - 1, 0)
+            )
+            # new pending = this chunk's EMITTED tokens (committed next call).
+            # The reference also drops the capped last token from the cache
+            # (its KV is never computed: sequences[:, :-1] before the next
+            # forward), so pending must hold n_emit tokens, not n_tokens —
+            # otherwise the model conditions on a token the user never saw.
+            pend_out = jnp.full((P,), cfg.tokens.pad, jnp.int32)
+            pend_out = jax.lax.dynamic_update_slice(pend_out, res.tokens, (0,))
+            pend_out = jnp.where(
+                jnp.arange(P) < n_emit, pend_out, cfg.tokens.pad
             )
             # device-side history ring update (last Lh emitted tokens):
             # append the new tokens at hist_len, keep the trailing Lh window
@@ -296,7 +303,7 @@ class InfiniSSTAgent(SpeechToTextAgent):
             )
             return (
                 packed, enc2, dec2, window, new_hist, new_len,
-                pend_out, res.n_tokens,
+                pend_out, n_emit,
             )
 
         gen = jax.jit(generate_chunk, donate_argnums=(1, 2, 3, 4, 6))
@@ -412,17 +419,16 @@ class InfiniSSTAgent(SpeechToTextAgent):
         # the ONLY host sync per chunk (jax.device_get, NOT np.asarray: the
         # latter can hit a pathologically slow path on remote backends)
         packed = jax.device_get(packed)
-        n_tok = int(packed[0])
         n_emit = int(packed[2])
         out_ids = packed[3 : 3 + n_emit].tolist()
-        self.pend_n_host = n_tok
+        self.pend_n_host = n_emit
 
         self.first_chunk = False
         states.target_ids.extend(out_ids)
 
         # --- cache bookkeeping (host mirror, LOGICAL = physical + pending;
         # ref :337-361)
-        self.llm_cache_len += prompt.ids.shape[0] + n_tok
+        self.llm_cache_len += prompt.ids.shape[0] + n_emit
         self.cache_checkpoints.append(self.llm_cache_len)
         if self.llm_cache_len > opts.max_llm_cache_size:
             new_len = self.llm_cache_len

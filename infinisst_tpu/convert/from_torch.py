@@ -31,9 +31,29 @@ Arrays = Dict[str, np.ndarray]
 # Torch file loading without the original libraries
 
 
-def load_torch_state(path: str) -> Arrays:
-    """Load a torch checkpoint's tensors as numpy, tolerating missing
-    classes (fairseq/omegaconf) in the pickle."""
+# Module prefixes whose classes may be instantiated by the non-weights-only
+# fallback loader.  Everything else is stubbed, so no arbitrary __reduce__
+# can execute even for importable classes (checkpoints are downloaded
+# public files — treat as untrusted input).
+_PICKLE_ALLOWLIST = (
+    "torch",
+    "collections",
+    "numpy",
+    "argparse",  # fairseq checkpoints store args as argparse.Namespace
+    "omegaconf",
+    "fairseq",
+)
+
+
+def load_torch_state(path: str, allow_pickle: bool = False) -> Arrays:
+    """Load a torch checkpoint's tensors as numpy.
+
+    Tries ``weights_only=True`` first.  Checkpoints carrying config objects
+    (fairseq/omegaconf) need a full unpickle: that path only runs when
+    ``allow_pickle=True``, and even then ``find_class`` is restricted to an
+    allowlist of container/tensor modules — any other class (importable or
+    not) is replaced with an inert stub, so no foreign ``__reduce__`` code
+    runs on untrusted files."""
     import torch
 
     class _Stub:
@@ -45,16 +65,24 @@ def load_torch_state(path: str) -> Arrays:
 
     class TolerantUnpickler(pickle.Unpickler):
         def find_class(self, module, name):
-            try:
-                return super().find_class(module, name)
-            except (ImportError, AttributeError):
-                return _Stub
+            root = module.split(".")[0]
+            if root in _PICKLE_ALLOWLIST:
+                try:
+                    return super().find_class(module, name)
+                except (ImportError, AttributeError):
+                    return _Stub
+            return _Stub
 
     try:
         obj = torch.load(path, map_location="cpu", weights_only=True)
     except Exception:
-        import torch.serialization as ts
-
+        if not allow_pickle:
+            raise ValueError(
+                f"{path}: not loadable with weights_only=True (it likely "
+                "carries fairseq/omegaconf config objects). Pass "
+                "allow_pickle=True to use the restricted fallback "
+                "unpickler."
+            )
         with open(path, "rb") as f:
             obj = torch.load(
                 f, map_location="cpu", weights_only=False,
@@ -85,6 +113,25 @@ def _conv(sd: Arrays, key: str) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # fairseq wav2vec2
 
+# CTC-finetuned fairseq checkpoints (e.g. the released
+# wav2_vec_vox_960h_pl.pt) wrap the SSL model: keys are
+# ``w2v_encoder.w2v_model.<ssl key>`` plus a ``w2v_encoder.proj.*`` CTC head.
+# The reference strips the wrapper and discards the head
+# (model/speech_encoder.py:157-171); we do the same, auto-detected.
+_CTC_PREFIX = "w2v_encoder.w2v_model."
+
+
+def strip_ctc_prefix(sd: Arrays) -> Arrays:
+    """Normalise a CTC-finetuned ``w2v_encoder.w2v_model.*`` state dict to
+    the bare SSL key layout; pass-through if it already is one."""
+    if not any(k.startswith(_CTC_PREFIX) for k in sd):
+        return sd
+    return {
+        k[len(_CTC_PREFIX):]: v
+        for k, v in sd.items()
+        if k.startswith(_CTC_PREFIX)
+    }
+
 
 def convert_w2v2(sd: Arrays, cfg, prefix: str = "") -> Dict[str, Any]:
     """fairseq Wav2Vec2Model state dict -> models.wav2vec2 param pytree.
@@ -98,7 +145,11 @@ def convert_w2v2(sd: Arrays, cfg, prefix: str = "") -> Dict[str, Any]:
       encoder.layers.{i}.{self_attn_layer_norm,final_layer_norm}.{weight,bias}
       encoder.layers.{i}.fc{1,2}.{weight,bias}
       encoder.layer_norm.{weight,bias}     final LN (layer_norm_first)
+
+    CTC-finetuned layouts (``w2v_encoder.w2v_model.`` wrapper) are
+    normalised automatically via :func:`strip_ctc_prefix`.
     """
+    sd = strip_ctc_prefix(sd)
     p = prefix
     conv = []
     for i, lc in enumerate(cfg.conv_layers):

@@ -183,12 +183,13 @@ def beam_search(
         # (BeamSearchScorer.process semantics: beam_idx < num_beams)
         rank = jnp.arange(2 * B)
         eos_ok = is_eos & (rank < B)
-        # candidate hypothesis score (length incl. nothing new; HF divides by
-        # the generated length so far +1? finalize uses cur_len of tokens
-        # excluding eos): sum_logprobs / (gen_len)**penalty with gen_len = t+1
-        # HF BeamHypotheses.add: score = sum_logprobs / len(seq)**penalty,
-        # len(seq) = prompt + generated tokens (eos excluded).
-        hyp_len = (prompt_len + t).astype(jnp.float32)
+        # candidate hypothesis score: the reference normalises by GENERATED
+        # length only (patch_hf.py beam_hypotheses add via process/finalize:
+        # generated_len = cur_len - decoder_prompt_len = t+1 for an EOS
+        # hypothesis at step t) — NOT by prompt+generated.  With real
+        # ~60-800 token prompts the prompt term would make length_penalty
+        # behave like ~0 and silently change which hypothesis wins.
+        hyp_len = (t + 1).astype(jnp.float32)
         hyp_score = cand_vals / jnp.maximum(hyp_len, 1.0) ** spec.length_penalty
 
         def add_hyp(i, carry):
@@ -242,7 +243,7 @@ def beam_search(
         # best possible future score of live beams (length grows; with
         # length_penalty>=0 use current length like HF early_stopping=False)
         best_possible = jnp.max(new_beam_scores) / (
-            jnp.maximum(prompt_len + t_next, 1).astype(jnp.float32)
+            jnp.maximum(t_next + 1, 1).astype(jnp.float32)
             ** spec.length_penalty
         )
         done_now = (
@@ -335,7 +336,7 @@ def beam_search(
 
     # finalize: if no finished hypothesis, take best live beam (HF finalize
     # force-adds open hypotheses).
-    live_score = beam_scores / jnp.maximum(prompt_len + t, 1).astype(
+    live_score = beam_scores / jnp.maximum(t, 1).astype(
         jnp.float32
     ) ** spec.length_penalty
     best_live = jnp.argmax(live_score)

@@ -70,7 +70,9 @@ def build_params(args, model_cfg):
         params = C.to_jax(C.convert_reference_bin(sd, model_cfg))
         return params
     if args.w2v2_path:
-        sd = C.load_torch_state(args.w2v2_path)
+        # fairseq .pt files carry omegaconf config objects -> the restricted
+        # fallback unpickler is required (allowlisted modules only)
+        sd = C.load_torch_state(args.w2v2_path, allow_pickle=True)
         params["w2v2"] = C.to_jax(C.convert_w2v2(sd, model_cfg.w2v2))
     if args.llm_path:
         path = args.llm_path

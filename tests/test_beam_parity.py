@@ -152,3 +152,61 @@ def test_sample_decode_runs_and_respects_filters():
     )
     toks = np.asarray(res3.tokens[: int(res3.n_tokens)])
     assert ((toks >= 0) & (toks < 128)).all()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("plen,length_penalty", [(60, 1.0), (60, 2.0)])
+def test_beam_matches_hf_long_prompt(plen, length_penalty):
+    """Length normalisation must use GENERATED length only (HF >=4.38 /
+    the reference's patched scorer divide by cur_len - decoder_prompt_len).
+    With a realistic ~60-token prompt a prompt-inclusive denominator makes
+    length_penalty behave like ~0 and flips winners — this pins it."""
+    hf, cfg, params = _models(5)
+    rng = np.random.RandomState(11)
+    prompt = rng.randint(5, 120, (1, plen))
+    eos_id = 2
+    pad_id = 3
+    max_new = 10
+
+    with torch.no_grad():
+        hf_out = hf.generate(
+            torch.tensor(prompt),
+            num_beams=4,
+            max_new_tokens=max_new,
+            do_sample=False,
+            no_repeat_ngram_size=3,
+            repetition_penalty=1.2,
+            eos_token_id=eos_id,
+            pad_token_id=pad_id,
+            length_penalty=length_penalty,
+            early_stopping=False,
+        )
+    hf_gen = hf_out[0, prompt.shape[1]:].tolist()
+    while hf_gen and hf_gen[-1] == pad_id:
+        hf_gen.pop()
+    if hf_gen and hf_gen[-1] == eos_id:
+        hf_gen = hf_gen[:-1]
+
+    st = init_decoder_state(
+        cfg.num_layers, 1, 128, cfg.num_kv_heads, cfg.head_dim,
+        dtype=jnp.float32,
+    )
+    x = L.embed(params, jnp.asarray(prompt))
+    logits, st = L.decode_step(params, cfg, st, x)
+    spec = beam_mod.BeamSpec(
+        beam=4,
+        max_new_tokens=max_new,
+        eos_id=eos_id,
+        pad_id=pad_id,
+        no_repeat_ngram_size=3,
+        repetition_penalty=1.2,
+        length_penalty=length_penalty,
+    )
+    res = beam_mod.beam_search(
+        params, cfg, st, logits[0, -1],
+        jnp.asarray(prompt[0]), jnp.asarray(prompt.shape[1], jnp.int32),
+        jnp.zeros((4,), jnp.int32), jnp.asarray(0, jnp.int32),
+        spec,
+    )
+    ours = np.asarray(res.tokens[: int(res.n_tokens)]).tolist()
+    assert ours == hf_gen, (ours, hf_gen)

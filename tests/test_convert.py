@@ -211,3 +211,97 @@ def test_export_roundtrip():
     back = C.to_jax(C.convert_llama(sd, cfg))
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def _tiny_w2v2_sd(rng, cfg):
+    """Synthesize a bare-SSL fairseq state dict for ``cfg``."""
+    sd = {}
+    in_d = 1
+    for i, lc in enumerate(cfg.conv_layers):
+        sd[f"feature_extractor.conv_layers.{i}.0.weight"] = (
+            rng.randn(lc.dim, in_d, lc.kernel).astype(np.float32) * 0.3
+        )
+        sd[f"feature_extractor.conv_layers.{i}.2.1.weight"] = rng.rand(
+            lc.dim
+        ).astype(np.float32)
+        sd[f"feature_extractor.conv_layers.{i}.2.1.bias"] = (
+            rng.randn(lc.dim).astype(np.float32) * 0.1
+        )
+        in_d = lc.dim
+    D = cfg.encoder_embed_dim
+    F = cfg.encoder_ffn_embed_dim
+    sd["layer_norm.weight"] = np.ones(in_d, np.float32)
+    sd["layer_norm.bias"] = np.zeros(in_d, np.float32)
+    sd["post_extract_proj.weight"] = rng.randn(D, in_d).astype(np.float32) * 0.1
+    sd["post_extract_proj.bias"] = np.zeros(D, np.float32)
+    for li in range(cfg.encoder_layers):
+        for nm in ["self_attn_layer_norm", "final_layer_norm"]:
+            sd[f"encoder.layers.{li}.{nm}.weight"] = np.ones(D, np.float32)
+            sd[f"encoder.layers.{li}.{nm}.bias"] = np.zeros(D, np.float32)
+        for nm in ["q_proj", "k_proj", "v_proj", "out_proj"]:
+            sd[f"encoder.layers.{li}.self_attn.{nm}.weight"] = (
+                rng.randn(D, D).astype(np.float32) * 0.1
+            )
+            sd[f"encoder.layers.{li}.self_attn.{nm}.bias"] = np.zeros(
+                D, np.float32
+            )
+        sd[f"encoder.layers.{li}.fc1.weight"] = (
+            rng.randn(F, D).astype(np.float32) * 0.1
+        )
+        sd[f"encoder.layers.{li}.fc1.bias"] = np.zeros(F, np.float32)
+        sd[f"encoder.layers.{li}.fc2.weight"] = (
+            rng.randn(D, F).astype(np.float32) * 0.1
+        )
+        sd[f"encoder.layers.{li}.fc2.bias"] = np.zeros(D, np.float32)
+    sd["encoder.layer_norm.weight"] = np.ones(D, np.float32)
+    sd["encoder.layer_norm.bias"] = np.zeros(D, np.float32)
+    return sd
+
+
+def test_convert_w2v2_ctc_layout():
+    """CTC-finetuned checkpoints wrap keys as w2v_encoder.w2v_model.* and
+    add a CTC proj head; the converter must auto-strip the wrapper and
+    ignore the head (ref: model/speech_encoder.py:157-171)."""
+    cfg = W2V2Config(
+        conv_layers=conv_cfg([(8, 10, 5), (8, 3, 2)]),
+        encoder_embed_dim=16,
+        encoder_layers=2,
+        encoder_attention_heads=2,
+        encoder_ffn_embed_dim=32,
+    )
+    rng = np.random.RandomState(3)
+    sd = _tiny_w2v2_sd(rng, cfg)
+    ctc_sd = {f"w2v_encoder.w2v_model.{k}": v for k, v in sd.items()}
+    # CTC head + wrapper extras the reference discards
+    ctc_sd["w2v_encoder.proj.weight"] = rng.randn(40, 16).astype(np.float32)
+    ctc_sd["w2v_encoder.proj.bias"] = np.zeros(40, np.float32)
+    ctc_sd["w2v_encoder.w2v_model.mask_emb"] = rng.randn(16).astype(np.float32)
+
+    ssl = C.convert_w2v2(sd, cfg)
+    ctc = C.convert_w2v2(ctc_sd, cfg)
+    for a, b in zip(jax.tree.leaves(ssl), jax.tree.leaves(ctc)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_torch_state_pickle_gating(tmp_path):
+    """Plain tensor checkpoints load with weights_only; checkpoints with
+    config objects require an explicit allow_pickle=True (restricted
+    unpickler) and still yield the tensors."""
+    plain = {"w": torch.randn(3, 2)}
+    p1 = tmp_path / "plain.pt"
+    torch.save(plain, p1)
+    out = C.load_torch_state(str(p1))
+    assert out["w"].shape == (3, 2)
+
+    import argparse as ap
+
+    fairseq_like = {
+        "model": {"x": torch.randn(2, 2)},
+        "args": ap.Namespace(encoder_layers=2),
+    }
+    p2 = tmp_path / "fairseq.pt"
+    torch.save(fairseq_like, p2)
+    with pytest.raises(ValueError, match="allow_pickle"):
+        C.load_torch_state(str(p2))
+    out2 = C.load_torch_state(str(p2), allow_pickle=True)
+    assert out2["x"].shape == (2, 2)
