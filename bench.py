@@ -63,18 +63,24 @@ def main():
         return bench_serve(multiplier, n_chunks, pool=pool, model=model)
 
     if model == "8b":
-        # full Llama-3.1-8B architecture, int8 projections, on ONE 16 GB
-        # chip (the reference needs a 48 GB L40S for bf16 8B)
+        # full Llama-3.1-8B architecture, int8 projections + int8-W8A8
+        # lm_head, on ONE 16 GB chip (the reference needs a 48 GB L40S for
+        # bf16 8B).  --bf16-head / --act-int8 toggle the variants.
         from infinisst_tpu.core.presets import flagship_config
         from infinisst_tpu.models.quant import init_quantized_llama
 
         cfg = flagship_config()
         dtype = jnp.bfloat16
         k = jax.random.PRNGKey(0)
+        lm_head_int8 = "--bf16-head" not in sys.argv
+        act_int8 = "--no-act-int8" not in sys.argv
         params = {
             "w2v2": W.init_params(jax.random.fold_in(k, 0), cfg.w2v2, dtype),
             "adapter": A.init_params(jax.random.fold_in(k, 1), cfg.adapter, dtype),
-            "llama": init_quantized_llama(jax.random.fold_in(k, 2), cfg.llama),
+            "llama": init_quantized_llama(
+                jax.random.fold_in(k, 2), cfg.llama,
+                act_int8=act_int8, lm_head_int8=lm_head_int8,
+            ),
         }
         quantize = False  # already quantized at init
         tag = "8b_int8"

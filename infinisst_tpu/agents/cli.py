@@ -66,6 +66,10 @@ def add_args(p: argparse.ArgumentParser):
                    choices=["infinisst", "alignatt", "streamatt"])
     p.add_argument("--source", type=str, required=True)
     p.add_argument("--target", type=str, required=True)
+    p.add_argument("--timing", type=str, default=None,
+                   help="per-segment start_ms:dur_ms file "
+                   "(prepare_simuleval_inputs.py .timing output) for true "
+                   "StreamLAAL segment timing")
     p.add_argument("--output", type=str, default="eval_out")
     p.add_argument("--source-segment-size", type=int, default=None)
     p.add_argument("--eval-latency-unit", type=str, default="word")
@@ -211,6 +215,7 @@ def main():
         EvalArgs(
             source=args.source,
             target=args.target,
+            timing=args.timing,
             output=args.output,
             source_segment_size=seg,
             eval_latency_unit=args.eval_latency_unit,

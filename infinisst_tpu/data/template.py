@@ -165,19 +165,28 @@ class PromptBuilder:
         )
 
     def _sys_text_ids(self, text: str) -> List[int]:
-        """Tokenize system text, mapping the latency token to its id."""
+        """Tokenize system text, mapping the latency token to its id.
+
+        The text is encoded as a WHOLE string: per-word encoding breaks
+        BPE leading-space merges on real tokenizers (' German' !=
+        'German').  If the tokenizer already knows the latency token
+        (register_special_tokens), its output is used directly; otherwise
+        the text is split around the literal token and each side encoded
+        whole, with the latency id spliced in."""
+        import re
+
         t = self.t
-        ids: List[int] = []
-        for part in text.split(" "):
-            stripped = part.rstrip(".")
-            if stripped.startswith("<latency_") and stripped.endswith(">"):
-                m = int(stripped[len("<latency_") : -1])
-                ids.append(t.latency[m - 1])
-                if part.endswith("."):
-                    ids.extend(self.tokenizer.encode("."))
-            else:
-                ids.extend(self.tokenizer.encode(part))
-        return ids
+        ids = list(self.tokenizer.encode(text))
+        if any(i in t.latency for i in ids):
+            return ids
+        out: List[int] = []
+        for part in re.split(r"(<latency_\d+>)", text):
+            m = re.fullmatch(r"<latency_(\d+)>", part)
+            if m:
+                out.append(t.latency[int(m.group(1)) - 1])
+            elif part:
+                out.extend(self.tokenizer.encode(part))
+        return out
 
     def system_ids(self, text: str) -> np.ndarray:
         """<|begin_of_text|> + system block."""

@@ -126,12 +126,19 @@ def stream_laal(
     unit: str = "word",
     computation_aware: bool = False,
     max_dp_units: int = 4000,
+    seg_times: Sequence = None,
 ) -> float:
     """StreamLAAL: resegment the continuous hypothesis stream against the
     reference segments (mwerSegmenter-style minimum-edit-distance DP, with
     a proportional-split fallback for very long streams), then average LAAL
     over segments — the StreamAtt/StreamLAAL protocol for scoring
-    long-form streams segment by segment."""
+    long-form streams segment by segment.
+
+    ``seg_times``: per-reference-segment (start_ms, duration_ms) from the
+    manifest (MuST-C utterances have very unequal durations — offsets are
+    in the TSV, emitted by prepare_simuleval_inputs.py as the ``.timing``
+    file).  Without it, segments are assumed to split the source equally —
+    only adequate for synthetic streams."""
     units = log.units(unit)
     if not units:
         return 0.0
@@ -170,14 +177,18 @@ def stream_laal(
         for rl in ref_lens:
             acc += rl
             bounds.append(round(n * acc / total_ref))
-    seg_ms = log.source_duration_ms / max(len(ref_segments), 1)
+    eq_ms = log.source_duration_ms / max(len(ref_segments), 1)
     scores = []
     start = 0
     for seg_idx, end in enumerate(bounds):
         seg_units = units[start:end]
         if seg_units:
             # delays relative to this segment's start time in the stream
-            t0 = seg_idx * seg_ms
+            if seg_times is not None:
+                t0, seg_ms = seg_times[seg_idx]
+                seg_ms = max(float(seg_ms), 1e-9)
+            else:
+                t0, seg_ms = seg_idx * eq_ms, eq_ms
             delays = [
                 (u[2] if computation_aware else u[1]) - t0 for u in seg_units
             ]

@@ -30,6 +30,9 @@ from infinisst_tpu.eval.latency import Emission, InstanceLog, rtf, stream_laal
 class EvalArgs:
     source: str  # file: one wav path per line
     target: str  # file: one tab-or-newline-separated reference per line
+    timing: Optional[str] = None  # file: tab-separated start_ms:dur_ms per
+    # reference segment (prepare_simuleval_inputs.py .timing output); when
+    # absent StreamLAAL falls back to an equal split of the source
     output: str = "eval_out"
     source_segment_size: int = 960  # ms
     eval_latency_unit: str = "word"  # 'word' | 'char'
@@ -42,9 +45,23 @@ def run_streaming_eval(agent, args: EvalArgs) -> dict:
         sources = [l.strip() for l in f if l.strip()]
     with open(args.target) as f:
         targets = [l.rstrip("\n") for l in f]
+    timings = None
+    if args.timing:
+        with open(args.timing) as f:
+            timings = [
+                [
+                    tuple(float(x) for x in seg.split(":"))
+                    for seg in line.strip().split("\t")
+                ]
+                if line.strip()
+                else []
+                for line in f
+            ]
     if args.max_instances:
         sources = sources[: args.max_instances]
         targets = targets[: args.max_instances]
+        if timings is not None:
+            timings = timings[: args.max_instances]
 
     os.makedirs(args.output, exist_ok=True)
     seg_samples = int(args.source_segment_size * 16)
@@ -109,6 +126,9 @@ def run_streaming_eval(agent, args: EvalArgs) -> dict:
     except Exception:
         bleu = float("nan")
 
+    def _seg_times(i):
+        return timings[i] if timings is not None and timings[i] else None
+
     laal = float(
         np.mean(
             [
@@ -116,6 +136,7 @@ def run_streaming_eval(agent, args: EvalArgs) -> dict:
                     log,
                     targets[i].split("\t") if "\t" in targets[i] else [targets[i]],
                     unit=args.eval_latency_unit,
+                    seg_times=_seg_times(i),
                 )
                 for i, log in enumerate(logs)
             ]
@@ -129,6 +150,7 @@ def run_streaming_eval(agent, args: EvalArgs) -> dict:
                     targets[i].split("\t") if "\t" in targets[i] else [targets[i]],
                     unit=args.eval_latency_unit,
                     computation_aware=True,
+                    seg_times=_seg_times(i),
                 )
                 for i, log in enumerate(logs)
             ]

@@ -91,6 +91,104 @@ def quantized_matmul(
     return out[:M]
 
 
+def _qmm_i8_kernel(ys_ref, y_ref, w_ref, s_ref, o_ref, *, out_dtype):
+    # int8 x int8 -> int32 natively on the MXU (v5e+: 2x bf16 throughput);
+    # no VPU dequant of the weight tile at all — the tile goes HBM -> VMEM
+    # -> MXU untouched, so the kernel is pure DMA + matmul.
+    acc = jnp.dot(y_ref[:], w_ref[:], preferred_element_type=jnp.int32)
+    o_ref[:] = (
+        acc.astype(jnp.float32)
+        * ys_ref[:].astype(jnp.float32)
+        * s_ref[0][None, :].astype(jnp.float32)
+    ).astype(out_dtype)
+
+
+def quantize_activation(y: jnp.ndarray):
+    """Symmetric per-row int8 quantization of (M, D) activations.
+    Returns (y_q int8 (M, D), scale f32 (M, 1))."""
+    amax = jnp.max(jnp.abs(y.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    y_q = jnp.clip(
+        jnp.round(y.astype(jnp.float32) / scale), -127, 127
+    ).astype(jnp.int8)
+    return y_q, scale
+
+
+def quantized_matmul_w8a8(
+    y: jnp.ndarray,  # (M, D) bf16/f32
+    w_q: jnp.ndarray,  # (D, O) int8
+    scale: jnp.ndarray,  # (O,) f32
+    tile_o: int = 0,
+    interpret: bool = False,
+    out_dtype=None,
+) -> jnp.ndarray:
+    """W8A8 matmul: per-row activation quant + per-out-channel weight quant,
+    int8 MXU accumulation in int32, rescale to ``out_dtype``.
+
+    Removes the in-kernel int8->bf16 weight convert of
+    :func:`quantized_matmul`, which is VPU-bound at very wide outputs
+    (the 128k lm_head) — there the convert cost exceeded the bandwidth
+    saving and bf16 won; this path restores the 2x byte saving."""
+    out_dtype = out_dtype or y.dtype
+    M, D = y.shape
+    D2, O = w_q.shape
+    assert D == D2
+    y_q, y_s = quantize_activation(y)
+    if tile_o == 0:
+        # int8 tile only (no bf16 copy) -> a larger tile fits VMEM
+        tile_o = max(128, min(1024, (6 * 1024 * 1024 // D) // 128 * 128))
+        while O % tile_o != 0 and tile_o > 128:
+            tile_o -= 128
+    assert O % tile_o == 0, (O, tile_o)
+    m8 = max(8, ((M + 7) // 8) * 8)
+    budget = max(8, min(256, (4 * 1024 * 1024 // D) // 8 * 8))
+    if m8 <= budget:
+        tile_m = m8
+    else:
+        tile_m = next(
+            (t for t in (256, 192, 128, 96, 64, 32, 16, 8)
+             if t <= budget and m8 % t == 0),
+            min(128, budget),
+        )
+    Mp = ((M + tile_m - 1) // tile_m) * tile_m
+    if Mp != M:
+        y_q = jnp.pad(y_q, ((0, Mp - M), (0, 0)))
+        y_s = jnp.pad(y_s, ((0, Mp - M), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_qmm_i8_kernel, out_dtype=out_dtype),
+        grid=(Mp // tile_m, O // tile_o),
+        in_specs=[
+            pl.BlockSpec(
+                (tile_m, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_m, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (D, tile_o), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tile_o), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_m, tile_o), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, O), out_dtype),
+        interpret=interpret,
+    )(y_s, y_q, w_q, scale[None, :])
+    return out[:M]
+
+
+def quantized_matmul_w8a8_reference(y, w_q, scale, out_dtype=None):
+    y_q, y_s = quantize_activation(y)
+    acc = y_q.astype(jnp.int32) @ w_q.astype(jnp.int32)
+    return (acc.astype(jnp.float32) * y_s * scale[None, :]).astype(
+        out_dtype or y.dtype
+    )
+
+
 def quantize_weight(w: jnp.ndarray, axis: int = 0):
     """Symmetric per-out-channel int8 quantization of (…, in, out) weights.
     Returns (w_q int8, scale f32 over the out axis)."""

@@ -18,7 +18,12 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
-from infinisst_tpu.kernels.quant_matmul import quantize_weight, quantized_matmul
+from infinisst_tpu.kernels.quant_matmul import (
+    quantize_activation,
+    quantize_weight,
+    quantized_matmul,
+    quantized_matmul_w8a8,
+)
 
 QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
@@ -28,17 +33,41 @@ def is_quantized(w) -> bool:
 
 
 def mm(y: jnp.ndarray, w, interpret: bool = False) -> jnp.ndarray:
-    """y @ w for plain or quantized weights; y (..., D)."""
+    """y @ w for plain or quantized weights; y (..., D).
+
+    Two quantized layouts (distinguished by the scale key, so the pytree
+    stays arrays-only):
+      {'q', 'scale'}     weight-only int8: in-VMEM bf16 dequant before the
+                         MXU (bf16-exact activations);
+      {'q', 'scale_a8'}  W8A8: per-row activation quant + native int8 MXU
+                         accumulation — no weight convert at all, which
+                         matters at very wide outputs (the 128k lm_head,
+                         where the VPU dequant cost exceeded the bandwidth
+                         saving)."""
     if not is_quantized(w):
         return y @ w
     shape = y.shape
-    out = quantized_matmul(
-        y.reshape(-1, shape[-1]), w["q"], w["scale"], interpret=interpret
-    )
+    y2 = y.reshape(-1, shape[-1])
+    if "scale_a8" in w:
+        # Pure XLA: int8 x int8 dot_general lowers natively to the MXU
+        # (int32 accumulate) and the rescale fuses into the surrounding
+        # graph — no per-op Pallas launch overhead (at 7 projections x 32
+        # layers per decode step the fixed kernel-call cost dominated the
+        # Pallas W8A8 variant, kernels/quant_matmul.quantized_matmul_w8a8).
+        y_q, y_s = quantize_activation(y2)
+        acc = jax.lax.dot_general(
+            y_q, w["q"], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out = (
+            acc.astype(jnp.float32) * y_s * w["scale_a8"][None, :]
+        ).astype(y.dtype)
+    else:
+        out = quantized_matmul(y2, w["q"], w["scale"], interpret=interpret)
     return out.reshape(*shape[:-1], out.shape[-1])
 
 
-def _quantize_stacked(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+def _quantize_stacked(w: jnp.ndarray, a8: bool = False) -> Dict[str, jnp.ndarray]:
     """(L, D, O) -> per (L, O) channel scales."""
     L = w.shape[0]
     qs, ss = [], []
@@ -46,10 +75,14 @@ def _quantize_stacked(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         q, s = quantize_weight(w[i], axis=0)
         qs.append(q)
         ss.append(s.astype(jnp.float32))
-    return {"q": jnp.stack(qs), "scale": jnp.stack(ss)}
+    return {
+        "q": jnp.stack(qs),
+        ("scale_a8" if a8 else "scale"): jnp.stack(ss),
+    }
 
 
-def init_quantized_llama(key, cfg, dtype=None, embed_dtype=None):
+def init_quantized_llama(key, cfg, dtype=None, embed_dtype=None,
+                         act_int8=False, lm_head_int8=False):
     """Random-init llama params directly in int8 (projections) + bf16
     (embed/lm_head/norms) — avoids staging the full bf16 model in HBM,
     which matters when the quantized model barely fits the chip (8B on one
@@ -65,17 +98,13 @@ def init_quantized_llama(key, cfg, dtype=None, embed_dtype=None):
         cfg.vocab_size,
     )
 
+    skey = "scale_a8" if act_int8 else "scale"
+
     def qmat(k, shape):
         q = jax.random.randint(k, (L,) + shape, -127, 128, jnp.int8)
         scale = jnp.full((L, shape[-1]), 1.0 / (127 * math.sqrt(shape[0])),
                          jnp.float32)
-        return {"q": q, "scale": scale}
-
-    def qmat_flat(k, shape):
-        q = jax.random.randint(k, shape, -127, 128, jnp.int8)
-        scale = jnp.full((shape[-1],), 1.0 / (127 * math.sqrt(shape[0])),
-                         jnp.float32)
-        return {"q": q, "scale": scale}
+        return {"q": q, skey: scale}
 
     ks = jax.random.split(key, 10)
     layers = {
@@ -89,33 +118,51 @@ def init_quantized_llama(key, cfg, dtype=None, embed_dtype=None):
         "w_up": qmat(ks[5], (D, I)),
         "w_down": qmat(ks[6], (I, D)),
     }
-    # lm_head stays bf16: an int8 head (vocab padded to 512) was measured
-    # SLOWER end-to-end (the in-kernel int8->bf16 convert is compute-bound
-    # at 128k output width); quantize_llama_params(quantize_lm_head=True)
-    # remains available for experimentation.
-    del qmat_flat
+    # lm_head default bf16: the weight-only int8 head (in-VMEM bf16 dequant)
+    # measured SLOWER end-to-end — the convert is VPU-bound at 128k output
+    # width.  ``lm_head_int8`` uses the W8A8 path instead (native int8 MXU,
+    # no convert), which restores the 2x byte saving on the ~2.1 GB head.
+    if lm_head_int8:
+        # vocab padded to a 512 multiple (128263 with the 7 special tokens
+        # is not even 128-divisible); pad scales are zero and llama.py
+        # slices logits back to vocab_size
+        Vp = ((V + 511) // 512) * 512
+        scale = jnp.full((Vp,), 1.0 / (127 * math.sqrt(D)), jnp.float32)
+        scale = scale.at[V:].set(0.0)
+        lm_head = {
+            "q": jax.random.randint(ks[8], (D, Vp), -127, 128, jnp.int8),
+            "scale_a8": scale,
+        }
+    else:
+        lm_head = jax.random.normal(
+            ks[8], (D, V), embed_dtype
+        ) / math.sqrt(D)
     return {
         "embed": jax.random.normal(ks[7], (V, D), embed_dtype) * 0.02,
         "layers": layers,
         "final_ln": jnp.ones((D,), embed_dtype),
-        "lm_head": jax.random.normal(ks[8], (D, V), embed_dtype)
-        / math.sqrt(D),
+        "lm_head": lm_head,
     }
 
 
 def quantize_llama_params(
-    params: Dict[str, Any], quantize_lm_head: bool = False
+    params: Dict[str, Any],
+    quantize_lm_head: bool = False,
+    act_int8: bool = False,
 ) -> Dict[str, Any]:
     """Quantize the per-layer projections (and optionally lm_head).
-    Requires all projection output dims to be multiples of 128 (true for
-    the bench/flagship configs; tiny test configs should pass
-    interpret=True to mm or stay bf16)."""
+
+    ``act_int8`` selects the W8A8 path for the projections; the lm_head
+    (when quantized) always uses W8A8 — weight-only dequant at 128k width
+    is VPU-bound and loses to bf16.  Requires all projection output dims to
+    be multiples of 128 (true for the bench/flagship configs; tiny test
+    configs should pass interpret=True to mm or stay bf16)."""
     out = dict(params)
     layers = dict(params["layers"])
     for k in QUANT_KEYS:
         w = layers[k]
         assert w.shape[-1] % 128 == 0, (k, w.shape)
-        layers[k] = _quantize_stacked(w)
+        layers[k] = _quantize_stacked(w, a8=act_int8)
     out["layers"] = layers
     if quantize_lm_head:
         w = params["lm_head"]
@@ -125,5 +172,5 @@ def quantize_llama_params(
             w = jnp.pad(w, ((0, 0), (0, Vp - V)))
         q, s = quantize_weight(w, axis=0)
         s = s.at[V:].set(0.0) if Vp != V else s
-        out["lm_head"] = {"q": q, "scale": s.astype(jnp.float32)}
+        out["lm_head"] = {"q": q, "scale_a8": s.astype(jnp.float32)}
     return out

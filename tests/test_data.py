@@ -247,3 +247,67 @@ def test_collator_validate_sweep():
 
     with pytest.raises(AssertionError):
         coll.validate(BadDS())
+
+
+class FakeBPE:
+    """Leading-space-sensitive tokenizer (GPT/Llama-style): ' German' and
+    'German' are different pieces, so per-word encoding of a sentence
+    differs from whole-string encoding."""
+
+    vocab_size = 100000
+
+    def __init__(self):
+        self.vocab = {}
+
+    def _id(self, piece):
+        return self.vocab.setdefault(piece, 2000 + len(self.vocab))
+
+    def encode(self, text):
+        import re
+
+        return [self._id(p) for p in re.findall(r"\s*\S+|\s+", text)]
+
+    def decode(self, ids, skip_special_tokens=True):
+        inv = {v: k for k, v in self.vocab.items()}
+        return "".join(inv.get(i, "?") for i in ids)
+
+
+def test_sys_text_ids_whole_string_bpe():
+    """The non-HF-template fallback must encode the system text as a whole
+    string (latency token spliced), id-equal to manual whole-piece
+    encoding — NOT word-by-word (which loses leading-space merges)."""
+    tok = FakeBPE()
+    b = PromptBuilder(tok, TOKENS, use_hf_template=False)
+    text = b.system_text(2)
+    got = b._sys_text_ids(text)
+
+    pre, post = text.split("<latency_2>")
+    want = tok.encode(pre) + [TOKENS.latency[1]] + tok.encode(post)
+    assert got == want
+    # word-by-word encoding would differ (no leading-space pieces)
+    wordwise = [i for w in text.split(" ") for i in tok.encode(w)]
+    assert got != wordwise
+
+
+def test_sys_text_ids_registered_latency_token():
+    """When the tokenizer itself knows the latency token (HF path after
+    register_special_tokens), its ids are used verbatim."""
+
+    class TokWithLatency(FakeBPE):
+        def encode(self, text):
+            import re
+
+            out = []
+            for part in re.split(r"(<latency_\d+>)", text):
+                m = re.fullmatch(r"<latency_(\d+)>", part)
+                if m:
+                    out.append(TOKENS.latency[int(m.group(1)) - 1])
+                elif part:
+                    out.extend(super().encode(part))
+            return out
+
+    tok = TokWithLatency()
+    b = PromptBuilder(tok, TOKENS, use_hf_template=False)
+    got = b._sys_text_ids(b.system_text(3))
+    assert TOKENS.latency[2] in got
+    assert got == tok.encode(b.system_text(3))

@@ -75,9 +75,35 @@ def test_trajectory_for_utterance(tmp_path):
     )
     # 2.5 s -> 3 steps of 960 ms; every target word emitted exactly once
     assert len(traj) == 3
-    assert " ".join(t for t in traj if t).split() == [
+    assert " ".join(t for t in traj if t.strip()).split() == [
         "hallo", "streaming", "welt",
     ]
+
+
+def test_utterance_trajectory_talk_grid(tmp_path):
+    """Trajectories are laid on the TALK step grid: an utterance whose
+    offset is not step-aligned starts at the rounded-down step and still
+    emits all target words (ref :108-155)."""
+    from infinisst_tpu.tools.preprocess.build_trajectory import (
+        STEP_SAMPLES,
+        utterance_trajectory,
+    )
+
+    p = tmp_path / "u0.TextGrid"
+    p.write_text(TEXTGRID)
+    words = parse_textgrid_words(str(p))
+    src = [w for _, _, w in words]
+    offset = 2 * STEP_SAMPLES + 5000  # mid-step start in the talk
+    off_r, traj, src_segs = utterance_trajectory(
+        words, src, "hallo streaming welt".split(), offset, 40000
+    )
+    assert off_r == 2 * STEP_SAMPLES
+    # steps span [off_r, offset + 40000) -> ceil((5000+40000)/15360)=3
+    assert len(traj) == 3 and len(src_segs) == 3
+    assert " ".join(t for t in traj if t.strip()).split() == [
+        "hallo", "streaming", "welt",
+    ]
+    assert traj[-1].endswith(" ")  # reference's trailing-space quirk
 
 
 def test_monotone_align():
@@ -85,23 +111,105 @@ def test_monotone_align():
     assert [t for _, t in pairs] == sorted(t for _, t in pairs)
 
 
-def test_reslice_talk():
-    utts = [
-        {
-            "path": "talk.wav",
-            "offset": i * 16000,
-            "n_frames": 16000,
-            "trajectory": [f"seg{i}"] * 10,  # 10 steps each
-            "tgt_text": f"text{i}",
-        }
-        for i in range(7)
+def _utt(step0, n_steps, tag, skipped=False):
+    from infinisst_tpu.tools.preprocess.build_trajectory import STEP_SAMPLES
+
+    return {
+        "path": "talk.wav",
+        "offset": step0 * STEP_SAMPLES,
+        "n_frames": n_steps * STEP_SAMPLES,
+        "traj_offset": step0 * STEP_SAMPLES,
+        "trajectory": None if skipped else [f"{tag}{j} " for j in range(n_steps)],
+        "src_segments": None if skipped else [f"s{tag}{j}" for j in range(n_steps)],
+    }
+
+
+def test_reslice_talk_gaps_and_windows():
+    """Inter-utterance gaps become empty trajectory steps; every emitted
+    row keeps trajectory length == ceil(n_frames / step) — the collators'
+    validate() invariant (ref :180-224)."""
+    import ast
+
+    from infinisst_tpu.tools.preprocess.build_trajectory import STEP_SAMPLES
+
+    # utterance A: steps 0-2; SILENCE: steps 3-4; utterance B: steps 5-6
+    utts = [_utt(0, 3, "a"), _utt(5, 2, "b")]
+    docs = reslice_talk(utts, window_steps=30)
+    traj = ast.literal_eval(docs[0]["trajectory"])
+    n_frames = int(docs[0]["n_frames"])
+    assert len(traj) == -(-n_frames // STEP_SAMPLES) == 7
+    # gap steps are EMPTY, utterance steps carry their segments
+    assert [t.strip() for t in traj] == [
+        "a0", "a1", "a2", "", "", "b0", "b1",
     ]
-    docs = reslice_talk(utts)
-    # 30-step windows over 7x10 steps -> 3 docs
-    assert len(docs) == 3
-    assert docs[0]["audio"].startswith("talk.wav:0:")
-    total_steps = sum(len(eval(d["trajectory"])) for d in docs)
-    assert total_steps == 70
+    assert docs[0]["audio"] == f"talk.wav:0:{7 * STEP_SAMPLES}"
+    # the reference's snap rule re-windows at the last mid-window
+    # utterance -> one overlapping tail sample (ref :216-221)
+    assert len(docs) == 2
+    assert int(docs[1]["audio"].split(":")[1]) == 5 * STEP_SAMPLES
+    assert [t.strip() for t in ast.literal_eval(docs[1]["trajectory"])] == [
+        "b0", "b1",
+    ]
+
+
+def test_reslice_talk_window_split_and_skip():
+    import ast
+
+    from infinisst_tpu.tools.preprocess.build_trajectory import STEP_SAMPLES
+
+    # 3 utterances x 3 steps back-to-back, 4-step windows
+    utts = [_utt(0, 3, "a"), _utt(3, 3, "b"), _utt(6, 3, "c")]
+    docs = reslice_talk(utts, window_steps=4)
+    for d in docs:
+        traj = ast.literal_eval(d["trajectory"])
+        assert len(traj) == -(-int(d["n_frames"]) // STEP_SAMPLES)
+    # window 1 holds a0..a2 + b0; the straddling b snaps window 2 to its
+    # start (overlapping samples, reference :216-221)
+    t0 = [t.strip() for t in ast.literal_eval(docs[0]["trajectory"])]
+    assert t0 == ["a0", "a1", "a2", "b0"]
+    assert int(docs[1]["audio"].split(":")[1]) == 3 * STEP_SAMPLES
+
+    # a skipped (alignment-failed) utterance truncates the window and is
+    # excluded from the output entirely
+    utts2 = [_utt(0, 2, "a"), _utt(2, 2, "x", skipped=True), _utt(4, 2, "b")]
+    docs2 = reslice_talk(utts2, window_steps=30)
+    all_txt = " ".join(d["tgt_text"] for d in docs2)
+    assert "x" not in all_txt and "a0" in all_txt and "b0" in all_txt
+    for d in docs2:
+        traj = ast.literal_eval(d["trajectory"])
+        assert len(traj) == -(-int(d["n_frames"]) // STEP_SAMPLES)
+
+
+def test_reslice_rows_pass_collator_validate():
+    """End-to-end property: rows produced by reslice_talk (with gaps and a
+    skipped utterance) satisfy TrajectoryCollator.validate()."""
+    import ast
+
+    from infinisst_tpu.tools.preprocess.build_trajectory import STEP_SAMPLES
+    from tests.test_data import BUILDER, MCFG
+    from infinisst_tpu.data.collators import TrajectoryCollator
+
+    utts = [
+        _utt(0, 3, "a"),
+        _utt(4, 2, "b"),
+        _utt(7, 1, "x", skipped=True),
+        _utt(9, 2, "c"),
+    ]
+    docs = reslice_talk(utts, window_steps=5)
+
+    class DS:
+        def __init__(self, rows):
+            self.ids = [f"d{i}" for i in range(len(rows))]
+            self.n_frames = [int(r["n_frames"]) for r in rows]
+            self.trajectories = [
+                ast.literal_eval(r["trajectory"]) for r in rows
+            ]
+
+        def __len__(self):
+            return len(self.ids)
+
+    coll = TrajectoryCollator(BUILDER, MCFG, block_size=48)
+    assert coll.validate(DS(docs)) == len(docs) > 0
 
 
 def test_strip_speakers():

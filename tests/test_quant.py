@@ -65,3 +65,64 @@ def test_quantized_decode_close_to_fp():
     rel = np.abs(f - q).max() / (np.abs(f).max() + 1e-9)
     assert rel < 0.08, rel
     np.testing.assert_array_equal(f.argmax(-1), q.argmax(-1))
+
+
+def test_quantized_matmul_w8a8_interpret():
+    from infinisst_tpu.kernels.quant_matmul import (
+        quantized_matmul_w8a8,
+        quantized_matmul_w8a8_reference,
+    )
+
+    k = jax.random.PRNGKey(2)
+    w = jax.random.normal(k, (256, 512)) * 0.05
+    wq, sc = quantize_weight(w)
+    y = jax.random.normal(jax.random.fold_in(k, 1), (4, 256))
+    ref = quantized_matmul_w8a8_reference(y, wq, sc)
+    out = quantized_matmul_w8a8(y, wq, sc, tile_o=256, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=1e-2, rtol=1e-2,
+    )
+    # W8A8 must also track the fp matmul (both quant errors combined)
+    full = np.asarray(y @ w, np.float32)
+    got = np.asarray(out, np.float32)
+    rel = np.abs(full - got).max() / (np.abs(full).max() + 1e-9)
+    assert rel < 0.05, rel
+
+
+def test_mm_dispatch_w8a8():
+    """mm() routes {'q','scale_a8'} through the XLA-native W8A8 path,
+    matching the int32-accumulate reference exactly."""
+    from infinisst_tpu.kernels.quant_matmul import (
+        quantized_matmul_w8a8_reference,
+    )
+
+    k = jax.random.PRNGKey(3)
+    w = jax.random.normal(k, (128, 256)) * 0.05
+    wq, sc = quantize_weight(w)
+    y = jax.random.normal(jax.random.fold_in(k, 1), (2, 3, 128))
+
+    out = mm(y, {"q": wq, "scale_a8": sc})
+    ref = quantized_matmul_w8a8_reference(
+        y.reshape(-1, 128), wq, sc
+    ).reshape(2, 3, 256)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=1e-5,
+    )
+    assert out.shape == (2, 3, 256)
+
+
+def test_quantize_llama_params_modes():
+    cfg = LlamaConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256, num_layers=2,
+        num_heads=4, num_kv_heads=4, head_dim=32, rope_scaling=False,
+    )
+    params = L.init_params(jax.random.PRNGKey(0), cfg)
+    q1 = quantize_llama_params(params, act_int8=True, quantize_lm_head=True)
+    assert "scale_a8" in q1["layers"]["wq"]
+    assert "scale_a8" in q1["lm_head"]
+    # vocab padded to a 512 multiple with zeroed pad scales
+    assert q1["lm_head"]["q"].shape[-1] % 512 == 0
+    q2 = quantize_llama_params(params)
+    assert "scale" in q2["layers"]["wq"] and "scale_a8" not in q2["layers"]["wq"]
