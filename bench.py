@@ -60,7 +60,9 @@ def main():
 
     if mode == "serve":
         pool = int(sys.argv[sys.argv.index("--pool") + 1]) if "--pool" in sys.argv else 8
-        return bench_serve(multiplier, n_chunks, pool=pool, model=model)
+        beam = int(sys.argv[sys.argv.index("--beam") + 1]) if "--beam" in sys.argv else 4
+        return bench_serve(multiplier, n_chunks, pool=pool, model=model,
+                           beam=beam)
 
     if model == "8b":
         # full Llama-3.1-8B architecture, int8 projections + int8-W8A8
@@ -143,9 +145,12 @@ def main():
 
 
 def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
-                model: str = "bench"):
+                model: str = "bench", beam: int = 4):
     """Batched multi-client throughput: N concurrent streams through the
-    serving engine; reports decode tokens/sec/chip and per-stream RTF."""
+    serving engine; reports decode tokens/sec/chip and per-stream RTF.
+    Default beam=4 — the reference's quality configuration
+    (scripts/infer/infinisst.sh:42) — so throughput is quality-comparable;
+    --beam 1 measures greedy."""
     import time
 
     import jax
@@ -177,7 +182,10 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
         params = {
             "w2v2": W.init_params(jax.random.fold_in(k, 0), cfg.w2v2, dtype),
             "adapter": A.init_params(jax.random.fold_in(k, 1), cfg.adapter, dtype),
-            "llama": init_quantized_llama(jax.random.fold_in(k, 2), cfg.llama),
+            "llama": init_quantized_llama(
+                jax.random.fold_in(k, 2), cfg.llama,
+                act_int8=True, lm_head_int8=True,
+            ),
         }
         tag = "8b_int8"
     else:
@@ -192,7 +200,7 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
     builders = {("English", "German"): PromptBuilder(tok, cfg.tokens)}
     eng = ServingEngine(
         params, cfg, StreamConfig(), builders, pool_size=pool,
-        multiplier=multiplier, dtype=dtype,
+        multiplier=multiplier, dtype=dtype, beam=beam,
     )
     rng = np.random.RandomState(0)
     slots = [eng.open_stream(f"c{i}") for i in range(pool)]
@@ -214,7 +222,7 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
     n_tok = sum(len(eng.slots[s_].target_ids) for s_ in slots) - n_tok0
     audio_s = n_chunks * chunk / 16000.0  # per stream
     result = {
-        "metric": f"serve_decode_tok_per_s_pool{pool}_m{multiplier}_{tag}",
+        "metric": f"serve_decode_tok_per_s_pool{pool}_beam{beam}_m{multiplier}_{tag}",
         "value": round(n_tok / wall, 2),
         "unit": "tok/s/chip",
         "vs_baseline": round((n_tok / wall) / 30.0, 3),  # target >=30 tok/s/chip

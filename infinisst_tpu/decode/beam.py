@@ -354,6 +354,47 @@ def beam_search(
     )
 
 
+def batched_beam_search(
+    params,
+    cfg: LlamaConfig,
+    dec: DecoderState,  # batch B — per-slot prefix caches after prefill
+    last_logits: jnp.ndarray,  # (B, V)
+    prompt_bufs: jnp.ndarray,  # (B, Tp)
+    prompt_lens: jnp.ndarray,  # (B,)
+    hists: jnp.ndarray,  # (B, Lh)
+    hist_lens: jnp.ndarray,  # (B,)
+    spec: BeamSpec,
+    encoder_ngram_size: int = 0,
+    suppress_mask: Optional[jnp.ndarray] = None,
+    max_steps: Optional[jnp.ndarray] = None,  # (B,) per-slot step caps
+) -> BeamResult:
+    """Beam search for a POOL of independent streams (pooled serving): the
+    shared-prefix trick generalised to per-slot prefixes via vmap — each
+    slot keeps its un-replicated prefix cache and a (beam, G) generation
+    buffer; the per-token matmuls batch to B*beam rows, so the weight
+    stream is shared across every slot AND every beam.  Inactive slots
+    should pass max_steps=1 so they cannot keep the batched loop alive.
+    Returns a BeamResult with a leading (B,) axis on every field."""
+
+    def one(k, v, vlen, lg, pbuf, plen, hist, hlen, msteps):
+        prefix = DecoderState(k=k[:, None], v=v[:, None], valid_len=vlen[None])
+        return beam_search(
+            params, cfg, prefix, lg, pbuf, plen, hist, hlen, spec,
+            encoder_ngram_size=encoder_ngram_size,
+            suppress_mask=suppress_mask,
+            max_steps=msteps,
+        )
+
+    if max_steps is None:
+        max_steps = jnp.full(
+            (last_logits.shape[0],), spec.max_new_tokens, jnp.int32
+        )
+    return jax.vmap(one, in_axes=(1, 1, 0, 0, 0, 0, 0, 0, 0))(
+        dec.k, dec.v, dec.valid_len, last_logits, prompt_bufs, prompt_lens,
+        hists, hist_lens, max_steps,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sampling decode (the do_sample path: DPO sampling dumps, ref:
 # agents/infinisst.py:196, options top_p/top_k/epsilon_cutoff/temperature)

@@ -290,11 +290,16 @@ def beam_token_step(
     inv_freq = rope_inv_freq(cfg)
     plen = prefix.valid_len[0]  # scalar
 
-    # key slots: [prefix C | gen G]; validity and positions
-    kj = jnp.arange(C + G)
-    key_ok = jnp.where(kj < C, kj < plen, (kj - C) < gen_len + 1)
-    bias = jnp.where(key_ok, 0.0, M.NEG_INF)[None, None, None, :]
-    k_pos = jnp.where(kj < C, kj, plen + (kj - C))  # (C+G,)
+    # Two-block attention: [shared prefix C | per-beam gen G].  The prefix
+    # block is NOT broadcast/materialised per beam — it enters the einsum
+    # with no beam axis, so its K/V cross HBM once per step instead of
+    # ``beam`` times (at 8B/C=1280 the per-beam materialisation was ~2 GB
+    # of avoidable traffic per decode step).
+    kj_p = jnp.arange(C)
+    bias_p = jnp.where(kj_p < plen, 0.0, M.NEG_INF)[None, None, None, :]
+    kj_g = jnp.arange(G)
+    bias_g = jnp.where(kj_g < gen_len + 1, 0.0, M.NEG_INF)[None, None, None, :]
+    g_pos = (plen + kj_g)[None, None]  # (1,1,G)
     q_pos = (plen + gen_len)[None, None]  # (1,1)
 
     scale = 1.0 / math.sqrt(Dh)
@@ -312,35 +317,39 @@ def beam_token_step(
         gv = lax.dynamic_update_slice(
             gv, v_new.astype(gv.dtype), (0, gen_len, 0, 0)
         )
-        # (beam, C+G, KV, Dh): broadcast shared prefix across beams
-        k_all = jnp.concatenate(
-            [jnp.broadcast_to(pk, (beam,) + pk.shape[1:]), gk], axis=1
-        )
-        v_all = jnp.concatenate(
-            [jnp.broadcast_to(pv, (beam,) + pv.shape[1:]), gv], axis=1
-        )
 
         qr = R.apply_llama_rope(
             jnp.transpose(q, (0, 2, 1, 3)), q_pos, inv_freq
-        )
-        kr = R.apply_llama_rope(
-            jnp.transpose(k_all, (0, 2, 1, 3)), k_pos[None, None], inv_freq
-        )
-        vt = jnp.transpose(v_all, (0, 2, 1, 3))
+        )  # (beam,H,1,Dh)
+        # prefix keys rotated once (no beam axis): (1,KV,C,Dh) -> (KV,C,Dh)
+        kr_p = R.apply_llama_rope(
+            jnp.transpose(pk, (0, 2, 1, 3)), kj_p[None, None], inv_freq
+        )[0]
+        kr_g = R.apply_llama_rope(
+            jnp.transpose(gk, (0, 2, 1, 3)), g_pos, inv_freq
+        )  # (beam,KV,G,Dh)
 
         qg = qr.reshape(beam, KV, H // KV, 1, Dh)
-        logits = jnp.einsum(
-            "bkgsd,bktd->bkgst", qg, kr, preferred_element_type=jnp.float32
+        logits_p = jnp.einsum(
+            "bkgsd,ktd->bkgst", qg, kr_p, preferred_element_type=jnp.float32
         )
-        logits = logits * scale + bias
-        w = jax.nn.softmax(logits, axis=-1).astype(vt.dtype)
+        logits_g = jnp.einsum(
+            "bkgsd,bktd->bkgst", qg, kr_g, preferred_element_type=jnp.float32
+        )
+        logits = jnp.concatenate(
+            [logits_p * scale + bias_p, logits_g * scale + bias_g], axis=-1
+        )
+        w = jax.nn.softmax(logits, axis=-1)
         if attn_probe is not None:
             _, a0, a1 = attn_probe
-            span = w.astype(jnp.float32).mean(axis=(1, 2))[:, 0, a0:a1]
+            span = w.mean(axis=(1, 2))[:, 0, a0:a1]
             probe = jnp.argmax(span, axis=-1).astype(jnp.int32)  # (beam,)
         else:
             probe = jnp.full((beam,), -1, jnp.int32)
-        attn = jnp.einsum("bkgst,bktd->bkgsd", w, vt)
+        w = w.astype(pv.dtype)
+        attn = jnp.einsum(
+            "bkgst,tkd->bkgsd", w[..., :C], pv[0]
+        ) + jnp.einsum("bkgst,btkd->bkgsd", w[..., C:], gv)
         attn = jnp.transpose(attn.reshape(beam, H, 1, Dh), (0, 2, 1, 3))
         h = h + mm(attn.reshape(beam, 1, H * Dh), lp["wo"])
         y = _rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)

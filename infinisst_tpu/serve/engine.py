@@ -9,8 +9,12 @@ jitted step functions —
 - per tick, every slot with a full pending chunk is encoded+prefilled in
   one batched call (slots are padded with dummy rows up to the pool size,
   so the compiled-shape set stays {pool_size} x {first/later});
-- decode is batched greedy (beam search stays available on the single-
-  stream agent path);
+- decode is batched greedy (beam=1) or batched BEAM SEARCH (beam>1): the
+  single-stream shared-prefix trick generalised to per-slot prefixes
+  (decode/beam.batched_beam_search) — per-token matmuls run at
+  pool*beam rows so the weight stream is shared across slots and beams,
+  and the winning tokens are committed with one batched replay (the
+  reference's quality numbers are beam-4, scripts/infer/infinisst.sh:42);
 - per-slot KV validity/eviction uses the same left-aligned cache + gather
   machinery as the single-stream agent.
 
@@ -72,6 +76,7 @@ class ServingEngine:
         multiplier: int = 1,
         max_new_tokens: Optional[int] = None,
         dtype=jnp.bfloat16,
+        beam: int = 1,
     ):
         self.params = params
         self.cfg = cfg
@@ -81,6 +86,7 @@ class ServingEngine:
         self.m = multiplier
         self.max_new = max_new_tokens or stream_cfg.max_new_tokens(multiplier)
         self.dtype = dtype
+        self.beam = beam
 
         self.chunk_samples = stream_cfg.chunk_samples(multiplier)
         self.chunk_frames = stream_cfg.chunk_frames(multiplier)
@@ -157,6 +163,7 @@ class ServingEngine:
         chunk_frames = self.chunk_frames
         max_new = self.max_new
         eos = cfg.tokens.eos
+        beam_n = self.beam
 
         chunk_samples = self.chunk_samples
 
@@ -192,6 +199,45 @@ class ServingEngine:
             last = jnp.take_along_axis(
                 logits, (prompt_lens - 1)[:, None, None], axis=1
             )[:, 0]  # (B, V)
+
+            if beam_n > 1:
+                # batched beam search over per-slot prefixes + in-jit
+                # commit of the winning tokens (one batched replay)
+                from infinisst_tpu.decode import beam as beam_mod
+
+                spec = beam_mod.BeamSpec(
+                    beam=beam_n,
+                    max_new_tokens=max_new,
+                    eos_id=eos,
+                    pad_id=cfg.tokens.pad,
+                    no_repeat_ngram_size=stream.no_repeat_ngram_size,
+                    repetition_penalty=1.2,
+                )
+                res = beam_mod.batched_beam_search(
+                    params["llama"], cfg.llama, dec2, last, ids,
+                    prompt_lens.astype(jnp.int32), hist, hist_len, spec,
+                    encoder_ngram_size=stream.no_repeat_ngram_size,
+                    max_steps=jnp.where(row_active, max_new, 1).astype(
+                        jnp.int32
+                    ),
+                )
+                n_emit = jnp.where(
+                    res.hit_eos, res.n_tokens,
+                    jnp.maximum(res.n_tokens - 1, 0),
+                ) * row_active.astype(jnp.int32)
+                toks = jnp.where(
+                    jnp.arange(max_new)[None] < n_emit[:, None],
+                    res.tokens, cfg.tokens.pad,
+                )
+                commit_emb = llama_mod.embed(params["llama"], toks)
+                commit_mask = (
+                    jnp.arange(max_new)[None] < n_emit[:, None]
+                ).astype(jnp.int32)
+                _, dec3 = llama_mod.decode_step(
+                    params["llama"], cfg.llama, dec2, commit_emb,
+                    valid_mask=commit_mask,
+                )
+                return enc2, dec3, windows, toks, n_emit
 
             # batched greedy decode with per-row eos stop + ngram guards
             Tbuf = ids.shape[1] + max_new

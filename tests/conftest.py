@@ -9,6 +9,9 @@ jax.config.update, which works any time before backend initialisation."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# no network in this environment: make hub lookups fail fast instead of
+# retrying for minutes (remove_speakers' optional LaBSE path)
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -220,8 +220,41 @@ def test_strip_speakers():
     ]
     kept, n_stripped, n_dropped = strip_speakers(rows)
     assert len(kept) == 2
-    assert kept[0]["src_text"] == "hello there"
+    by_id = {r["id"]: r for r in kept}
+    assert by_id["a"]["src_text"] == "hello there"
+    assert by_id["a"]["tgt_text"] == "hallo there"
     assert n_stripped >= 1
+
+
+def test_strip_speakers_reference_rules():
+    """The reference's decision rules (:77, :150-155): initials tags,
+    zh full-width colon, src-len > 3 drop, number-word false positives."""
+    rows = [
+        # 1-3 letter initials tag, both sides short -> stripped
+        {"id": "init", "src_text": "CA: Thank you so much",
+         "tgt_text": "CA: Vielen Dank"},
+        # zh full-width colon on the target side -> stripped (char length)
+        {"id": "zh", "src_text": "David Perry: Wow great",
+         "tgt_text": "佩里：哇 棒"},
+        # tag detected but source prefix longer than 3 words -> dropped
+        {"id": "long", "src_text": "A B C D E Narrator: dropped sample",
+         "tgt_text": "x y: z"},
+        # number-word tag is a regex false positive -> sample removed
+        # without stripping (the reference's `continue` drops it)
+        {"id": "numword", "src_text": "Ten: little helpers",
+         "tgt_text": "Zehn: kleine Helfer"},
+        # untagged -> untouched
+        {"id": "clean", "src_text": "plain text", "tgt_text": "plain text"},
+    ]
+    kept, n_stripped, n_dropped = strip_speakers(rows, lang="zh")
+    by_id = {r["id"]: r for r in kept}
+    assert by_id["init"]["src_text"] == "Thank you so much"
+    assert by_id["init"]["tgt_text"] == "Vielen Dank"
+    assert by_id["zh"]["src_text"] == "Wow great"
+    assert by_id["zh"]["tgt_text"] == "哇 棒"
+    assert "long" not in by_id and "numword" not in by_id
+    assert "clean" in by_id
+    assert n_dropped == 2
 
 
 def test_asr_filter():
