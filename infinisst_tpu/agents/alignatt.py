@@ -48,6 +48,15 @@ class AlignAttOptions(InfiniSSTOptions):
     max_len_b: int = 20
     length_bucket_chunks: int = 4  # audio length bucketing (960 ms units)
     decode_buf_tokens: int = 64  # static beam-loop bound per call
+    # compile-set bounds: on an unbounded talk the reference recomputes the
+    # full history every call (shape grows forever); here audio is capped
+    # to the last max_audio_chunks x 960 ms (the StreamAtt condition's
+    # max_speech_duration, scripts/infer/streamatt.sh:80) and the target
+    # prefix to the last max_prompt_target_tokens ids, so the jit-key set
+    # is FIXED: <= ceil(max_audio_chunks/length_bucket_chunks) audio
+    # shapes x a bounded number of 64-token prompt buckets.
+    max_audio_chunks: int = 30  # 28.8 s
+    max_prompt_target_tokens: int = 256
 
 
 class AlignAttStates(AgentStates):
@@ -151,17 +160,25 @@ class AlignAttAgent(InfiniSSTAgent):
         if states.source_finished and length_in_seconds < 0.32:
             return WriteAction(content="", finished=True)
 
-        # bucket audio length to 960 ms units (pad with zeros)
-        src = np.asarray(states.source, np.float32)
+        # bucket audio length to 960 ms units (pad with zeros); cap to the
+        # last max_audio_chunks units so the compiled-shape set is fixed
+        src_full = np.asarray(states.source, np.float32)
         unit = self.unit_samples
+        max_samples = opts.max_audio_chunks * unit
+        tail_start = max(0, len(src_full) - max_samples)
+        src = src_full[tail_start:]
         n_units = int(np.ceil(len(src) / unit))
         bucket = opts.length_bucket_chunks
-        n_units = int(np.ceil(n_units / bucket) * bucket)
+        n_units = min(
+            int(np.ceil(n_units / bucket) * bucket), opts.max_audio_chunks
+        )
         audio = np.zeros(CONV_LEFT_CONTEXT + n_units * unit, np.float32)
         audio[CONV_LEFT_CONTEXT : CONV_LEFT_CONTEXT + len(src)] = src
 
         n_speech = 12 * n_units
-        prompt = self.builder.offline_prompt(n_speech, states.target_ids)
+        prompt = self.builder.offline_prompt(
+            n_speech, states.target_ids[-opts.max_prompt_target_tokens :]
+        )
         plen = len(prompt.ids)
         pbucket = int(np.ceil(plen / 64) * 64)
         ids = np.full((1, pbucket), self.cfg.tokens.pad, np.int32)
@@ -185,11 +202,12 @@ class AlignAttAgent(InfiniSSTAgent):
         attn_idx = res_h.attn_idx[:n_tok].tolist()
 
         # refresh history attention trace (rows of the re-computed target
-        # prefix; ref :150-154)
+        # prefix; ref :150-154).  Probe indices are relative to the audio
+        # tail; tail_start restores absolute stream positions.
         tgt_start = prompt.patch_start + n_speech + 5  # assistant text start
         probes_np = probes_h[0]
         states.most_attended_indices = [
-            int(probes_np[i]) * SAMPLES_PER_SPEECH_TOKEN
+            tail_start + int(probes_np[i]) * SAMPLES_PER_SPEECH_TOKEN
             for i in range(tgt_start, plen)
         ]
 
@@ -207,7 +225,7 @@ class AlignAttAgent(InfiniSSTAgent):
                 if a >= real_speech - opts.frame_num:
                     break
                 states.most_attended_indices.append(
-                    a * SAMPLES_PER_SPEECH_TOKEN
+                    tail_start + a * SAMPLES_PER_SPEECH_TOKEN
                 )
                 cnt += 1
             prediction_ids = out_ids[:cnt]

@@ -110,6 +110,20 @@ def build_agent(args):
         "bench": bench_1chip_config,
         "dryrun": dryrun_config,
     }[args.model_preset]()
+    import dataclasses
+
+    if args.w2v2_type == "hubert":
+        # hubert encoder variant: GroupNorm 'default' extractor
+        # (ref: model/patches/patch_speech_encoder.py:80-218)
+        cfg = cfg.replace(
+            w2v2=dataclasses.replace(cfg.w2v2, extractor_mode="default")
+        )
+    if not args.rope or args.xpos:
+        cfg = cfg.replace(
+            w2v2=dataclasses.replace(
+                cfg.w2v2, use_rope=bool(args.rope), use_xpos=bool(args.xpos)
+            )
+        )
 
     tok_path = args.tokenizer_path or args.model_name
     if tok_path:

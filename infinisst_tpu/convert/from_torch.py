@@ -148,19 +148,27 @@ def convert_w2v2(sd: Arrays, cfg, prefix: str = "") -> Dict[str, Any]:
 
     CTC-finetuned layouts (``w2v_encoder.w2v_model.`` wrapper) are
     normalised automatically via :func:`strip_ctc_prefix`.
+
+    Two extractor layouts, selected by ``cfg.extractor_mode``:
+      'layer_norm'  conv_layers.{i}.2.1.{weight,bias}   per-layer LN (vox)
+      'default'     conv_layers.0.2.{weight,bias}       GroupNorm, layer 0
+                    only — the hubert / base-w2v2 layout (hubert models
+                    also carry label_embs_concat / final_proj, ignored,
+                    ref: model/patches/patch_speech_encoder.py:80-218).
     """
     sd = strip_ctc_prefix(sd)
     p = prefix
     conv = []
     for i, lc in enumerate(cfg.conv_layers):
         base = f"{p}feature_extractor.conv_layers.{i}"
-        conv.append(
-            {
-                "w": _conv(sd, f"{base}.0.weight"),
-                "ln_scale": sd[f"{base}.2.1.weight"],
-                "ln_bias": sd[f"{base}.2.1.bias"],
-            }
-        )
+        entry = {"w": _conv(sd, f"{base}.0.weight")}
+        if cfg.extractor_mode == "layer_norm":
+            entry["ln_scale"] = sd[f"{base}.2.1.weight"]
+            entry["ln_bias"] = sd[f"{base}.2.1.bias"]
+        elif i == 0:
+            entry["gn_scale"] = sd[f"{base}.2.weight"]
+            entry["gn_bias"] = sd[f"{base}.2.bias"]
+        conv.append(entry)
     L = cfg.encoder_layers
 
     def stack(fmt: str, transform: Callable = None):

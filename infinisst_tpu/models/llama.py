@@ -304,8 +304,20 @@ def beam_token_step(
 
     scale = 1.0 / math.sqrt(Dh)
 
+    # The layer scan indexes the stacked weights from the CLOSURE instead of
+    # passing them as scan xs: under vmap (batched_beam_search, pooled
+    # serving) the scan batching rule would broadcast unbatched xs across
+    # the lane axis — 3 x 14 GB materialised copies of the FFN weights at
+    # 8B/pool-8.  dynamic_index_in_dim from a closed-over array streams the
+    # same bytes with no broadcast.
+    layers = params["layers"]
+
     def body(h, per_layer):
-        lp, pk, pv, gk, gv = per_layer
+        li, pk, pv, gk, gv = per_layer
+        lp = jax.tree.map(
+            lambda a: lax.dynamic_index_in_dim(a, li, 0, keepdims=False),
+            layers,
+        )
         y = _rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
         q = mm(y, lp["wq"]).reshape(beam, 1, H, Dh)
         k_new = mm(y, lp["wk"]).reshape(beam, 1, KV, Dh)
@@ -357,10 +369,11 @@ def beam_token_step(
         h = h + mm(y, lp["w_down"])
         return h, (gk, gv, probe)
 
+    L = prefix.k.shape[0]
     h, (new_gk, new_gv, probes) = lax.scan(
         lambda carry, per: body(carry, per),
         x_embed,
-        (params["layers"], prefix.k, prefix.v, gen_k, gen_v),
+        (jnp.arange(L), prefix.k, prefix.v, gen_k, gen_v),
     )
     h = _rms_norm(h, params["final_ln"], cfg.rms_norm_eps)
     logits = mm(h, params["lm_head"])[:, 0, : cfg.vocab_size]  # (beam, V)

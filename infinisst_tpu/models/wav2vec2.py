@@ -71,13 +71,29 @@ def _gelu(x):
 # Conv feature extractor
 
 
+def _group_norm_per_channel(h, scale, bias, eps=1e-5):
+    """torch GroupNorm(dim, dim) on (B, C, T): each channel normalised over
+    its own time axis (the 'default' extractor mode's first-layer norm)."""
+    hf = h.astype(jnp.float32)
+    mu = hf.mean(-1, keepdims=True)
+    var = ((hf - mu) ** 2).mean(-1, keepdims=True)
+    y = (hf - mu) * lax.rsqrt(var + eps)
+    return (
+        y * scale.astype(jnp.float32)[None, :, None]
+        + bias.astype(jnp.float32)[None, :, None]
+    ).astype(h.dtype)
+
+
 def conv_extractor(params: Params, cfg: W2V2Config, x: jnp.ndarray) -> jnp.ndarray:
     """(B, T) raw samples -> (B, frames, conv_dim).
 
     Valid (no-padding) convs; out_len per layer = floor((L-k)/s)+1
-    (ref: model/speech_encoder.py:202-217)."""
+    (ref: model/speech_encoder.py:202-217).  Two extractor modes as in
+    fairseq: 'layer_norm' (per-layer LN — vox/large w2v2) and 'default'
+    (GroupNorm on the first layer only — hubert / base w2v2,
+    ref: model/patches/patch_speech_encoder.py:80-218 hubert path)."""
     h = x[:, None, :]  # (B, 1, T)  NCW
-    for layer_cfg, p in zip(cfg.conv_layers, params["conv"]):
+    for i, (layer_cfg, p) in enumerate(zip(cfg.conv_layers, params["conv"])):
         h = lax.conv_general_dilated(
             h.astype(p["w"].dtype),
             # stored (k, in, out) -> OIW
@@ -86,11 +102,35 @@ def conv_extractor(params: Params, cfg: W2V2Config, x: jnp.ndarray) -> jnp.ndarr
             padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"),
         )
-        h = jnp.transpose(h, (0, 2, 1))  # (B, T', C)
-        h = _layer_norm(h, p["ln_scale"], p["ln_bias"])
-        h = _gelu(h)
-        h = jnp.transpose(h, (0, 2, 1))
+        if cfg.extractor_mode == "layer_norm":
+            h = jnp.transpose(h, (0, 2, 1))  # (B, T', C)
+            h = _layer_norm(h, p["ln_scale"], p["ln_bias"])
+            h = _gelu(h)
+            h = jnp.transpose(h, (0, 2, 1))
+        else:  # 'default': GroupNorm(dim, dim) on layer 0 only
+            if i == 0:
+                h = _group_norm_per_channel(h, p["gn_scale"], p["gn_bias"])
+            h = _gelu(h)
     return jnp.transpose(h, (0, 2, 1))  # (B, frames, C)
+
+
+def sinusoidal_positions(offset, length: int, d_model: int) -> jnp.ndarray:
+    """Absolute sinusoidal position embeddings [sin | cos], the abs-pos
+    fallback when RoPE is off (ref: patch_speech_encoder.py:448-461).
+    ``offset`` may be traced (the stream's absolute frame count; positions
+    are NOT cache-relative in this mode, as in the reference).  Computed in
+    f32 (the reference computes in bf16, which rounds integer positions
+    above 256 — a quirk, not a behaviour to preserve)."""
+    half = d_model // 2
+    freq = jnp.exp(
+        jnp.arange(half, dtype=jnp.float32) * -(math.log(10000.0) / (half - 1))
+    )
+    pos = (jnp.asarray(offset, jnp.float32) + jnp.arange(length, dtype=jnp.float32))
+    ang = pos[:, None] * freq[None, :]
+    emb = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=1)
+    if d_model % 2 == 1:
+        emb = jnp.concatenate([emb, jnp.zeros((length, 1), jnp.float32)], axis=1)
+    return emb
 
 
 def conv_out_length(cfg: W2V2Config, length):
@@ -256,6 +296,8 @@ def forward(
     bias = M.additive(mask)
     pos = lax.broadcasted_iota(jnp.int32, (B, F), 1)
     inv_freq = jnp.asarray(R.encoder_rope_freqs(cfg.head_dim), jnp.float32)
+    if not cfg.use_rope:
+        x = x + sinusoidal_positions(0, F, D)[None].astype(x.dtype)
     if dropout_rng is not None:
         rng_in, rng_stack = jax.random.split(dropout_rng)
         keep = jax.random.bernoulli(rng_in, 1.0 - dropout_rate, x.shape)
@@ -293,6 +335,13 @@ def chunk_step(
     B, S, D = x.shape
     C = state.k.shape[2]
     n = state.n_frames  # (B,)
+    if not cfg.use_rope:
+        # abs-pos fallback: sinusoidal at the ABSOLUTE stream offset
+        # (ref: patch_speech_encoder.py:489-494 — not cache-relative)
+        emb = jax.vmap(
+            lambda off: sinusoidal_positions(off, S, D)
+        )(n)
+        x = x + emb.astype(x.dtype)
 
     mask = M.streaming_chunk_mask(
         S, n, max_cache_frames, chunk_frames, C + S
@@ -336,13 +385,14 @@ def init_params(
         w = jax.random.normal(
             jax.random.fold_in(ks[0], i), (lc.kernel, in_d, lc.dim), dtype
         ) * math.sqrt(2.0 / (lc.kernel * in_d))
-        conv.append(
-            {
-                "w": w,
-                "ln_scale": jnp.ones((lc.dim,), dtype),
-                "ln_bias": jnp.zeros((lc.dim,), dtype),
-            }
-        )
+        entry = {"w": w}
+        if cfg.extractor_mode == "layer_norm":
+            entry["ln_scale"] = jnp.ones((lc.dim,), dtype)
+            entry["ln_bias"] = jnp.zeros((lc.dim,), dtype)
+        elif i == 0:  # 'default': GroupNorm on the first layer only
+            entry["gn_scale"] = jnp.ones((lc.dim,), dtype)
+            entry["gn_bias"] = jnp.zeros((lc.dim,), dtype)
+        conv.append(entry)
         in_d = lc.dim
         i += 1
 

@@ -61,3 +61,27 @@ def test_streamatt_prunes_history():
         act = agent.push(rng.randn(chunk).astype(np.float32) * 0.1)
     # history pruning keeps audio bounded by max_speech_duration
     assert len(agent.states.source) <= int(1.5 * 16000)
+
+
+@pytest.mark.slow
+def test_alignatt_bounded_compile_set():
+    """Arbitrarily long streams must stop growing the jit-key set: audio is
+    capped to max_audio_chunks, the prompt target prefix to
+    max_prompt_target_tokens, so keys converge to a fixed pair."""
+    agent = _mk(
+        AlignAttAgent, AlignAttOptions,
+        max_audio_chunks=4, max_prompt_target_tokens=32,
+    )
+    rng = np.random.RandomState(2)
+    chunk = 15360
+    keys_seen = []
+    for i in range(8):
+        agent.push(rng.randn(chunk).astype(np.float32) * 0.1)
+        keys_seen.append(len(agent._offline_fns))
+    # audio bucket: <= ceil(4/2)=2 shapes; prompt bucket bounded by the
+    # (capped speech + capped target) length -> no growth after the cap
+    assert keys_seen[-1] == keys_seen[4], keys_seen
+    assert keys_seen[-1] <= 4, keys_seen
+    # attention bookkeeping keeps ABSOLUTE stream positions after the cap
+    if agent.states.most_attended_indices:
+        assert max(agent.states.most_attended_indices) <= 8 * chunk

@@ -305,3 +305,85 @@ def test_load_torch_state_pickle_gating(tmp_path):
         C.load_torch_state(str(p2))
     out2 = C.load_torch_state(str(p2), allow_pickle=True)
     assert out2["x"].shape == (2, 2)
+
+
+def test_convert_hubert_layout_and_groupnorm_parity():
+    """'default' extractor (hubert): conv_layers.0.2.{weight,bias} is a
+    GroupNorm(dim, dim); our conv frontend must match the torch chain, and
+    the converter must ignore hubert's label_embs/final_proj extras."""
+    import dataclasses
+
+    cfg = W2V2Config(
+        conv_layers=conv_cfg([(8, 10, 5), (8, 3, 2)]),
+        encoder_embed_dim=16,
+        encoder_layers=1,
+        encoder_attention_heads=2,
+        encoder_ffn_embed_dim=32,
+        extractor_mode="default",
+    )
+    rng = np.random.RandomState(7)
+    sd = {}
+    in_d = 1
+    for i, lc in enumerate(cfg.conv_layers):
+        sd[f"feature_extractor.conv_layers.{i}.0.weight"] = (
+            rng.randn(lc.dim, in_d, lc.kernel).astype(np.float32) * 0.3
+        )
+        in_d = lc.dim
+    sd["feature_extractor.conv_layers.0.2.weight"] = rng.rand(8).astype(
+        np.float32
+    )
+    sd["feature_extractor.conv_layers.0.2.bias"] = (
+        rng.randn(8).astype(np.float32) * 0.1
+    )
+    D = cfg.encoder_embed_dim
+    sd["layer_norm.weight"] = np.ones(8, np.float32)
+    sd["layer_norm.bias"] = np.zeros(8, np.float32)
+    sd["post_extract_proj.weight"] = rng.randn(D, 8).astype(np.float32) * 0.1
+    sd["post_extract_proj.bias"] = np.zeros(D, np.float32)
+    for nm in ["self_attn_layer_norm", "final_layer_norm"]:
+        sd[f"encoder.layers.0.{nm}.weight"] = np.ones(D, np.float32)
+        sd[f"encoder.layers.0.{nm}.bias"] = np.zeros(D, np.float32)
+    for nm in ["q_proj", "k_proj", "v_proj", "out_proj"]:
+        sd[f"encoder.layers.0.self_attn.{nm}.weight"] = (
+            rng.randn(D, D).astype(np.float32) * 0.1
+        )
+        sd[f"encoder.layers.0.self_attn.{nm}.bias"] = np.zeros(D, np.float32)
+    sd["encoder.layers.0.fc1.weight"] = rng.randn(32, D).astype(np.float32) * 0.1
+    sd["encoder.layers.0.fc1.bias"] = np.zeros(32, np.float32)
+    sd["encoder.layers.0.fc2.weight"] = rng.randn(D, 32).astype(np.float32) * 0.1
+    sd["encoder.layers.0.fc2.bias"] = np.zeros(D, np.float32)
+    sd["encoder.layer_norm.weight"] = np.ones(D, np.float32)
+    sd["encoder.layer_norm.bias"] = np.zeros(D, np.float32)
+    # hubert extras the converter must ignore
+    sd["label_embs_concat"] = rng.randn(10, 4).astype(np.float32)
+    sd["final_proj.weight"] = rng.randn(4, D).astype(np.float32)
+    sd["final_proj.bias"] = np.zeros(4, np.float32)
+
+    params = C.to_jax(C.convert_w2v2(sd, cfg))
+    assert "gn_scale" in params["conv"][0] and "w" in params["conv"][1]
+
+    x = rng.randn(1, 64).astype(np.float32)
+    ours = np.asarray(W.conv_extractor(params, cfg, jnp.asarray(x)))
+
+    h = torch.tensor(x).unsqueeze(1)
+    in_d = 1
+    for i, lc in enumerate(cfg.conv_layers):
+        conv = torch.nn.Conv1d(in_d, lc.dim, lc.kernel, lc.stride, bias=False)
+        conv.weight.data = torch.tensor(
+            sd[f"feature_extractor.conv_layers.{i}.0.weight"]
+        )
+        with torch.no_grad():
+            h = conv(h)
+            if i == 0:
+                gn = torch.nn.GroupNorm(lc.dim, lc.dim)
+                gn.weight.data = torch.tensor(
+                    sd["feature_extractor.conv_layers.0.2.weight"]
+                )
+                gn.bias.data = torch.tensor(
+                    sd["feature_extractor.conv_layers.0.2.bias"]
+                )
+                h = gn(h)
+            h = torch.nn.functional.gelu(h)
+        in_d = lc.dim
+    ref = h.transpose(1, 2).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-4)
