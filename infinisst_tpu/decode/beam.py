@@ -70,6 +70,7 @@ def beam_search(
     max_steps: Optional[jnp.ndarray] = None,  # traced cap <= max_new_tokens
     attn_probe: Optional[tuple] = None,  # (layer, span_start, span_end)
     first_attn_idx: Optional[jnp.ndarray] = None,  # scalar: probe at prefill
+    skip_last_fwd: bool = True,
 ) -> BeamResult:
     """Run beam search for one chunk.  Static shapes throughout.
 
@@ -254,7 +255,11 @@ def beam_search(
 
         # --- forward the next token for all beams; skipped via cond on the
         # final iteration (its logits would be unused — saves one full
-        # weight stream per chunk)
+        # weight stream per chunk).  Under vmap (batched_beam_search) the
+        # cond's batched predicate makes its batching rule instantiate the
+        # closed-over WEIGHTS as per-lane batched operands (a 14 GB/weight
+        # broadcast at 8B/pool-8), so the batched path runs the forward
+        # unconditionally instead (skip_last_fwd=False).
         def fwd(args):
             gk, gv = args
             x = llama_mod.embed(params, new_tok[:, None])
@@ -271,9 +276,12 @@ def beam_search(
                 jnp.full((B,), -1, jnp.int32),
             )
 
-        logits_next, gen_k, gen_v, attn_next = lax.cond(
-            done_now, skip, fwd, (gen_k, gen_v)
-        )
+        if skip_last_fwd:
+            logits_next, gen_k, gen_v, attn_next = lax.cond(
+                done_now, skip, fwd, (gen_k, gen_v)
+            )
+        else:
+            logits_next, gen_k, gen_v, attn_next = fwd((gen_k, gen_v))
 
         return (
             t_next,
@@ -383,6 +391,8 @@ def batched_beam_search(
             encoder_ngram_size=encoder_ngram_size,
             suppress_mask=suppress_mask,
             max_steps=msteps,
+            skip_last_fwd=False,  # see note in beam_search: lax.cond under
+            # vmap would broadcast the weights per lane
         )
 
     if max_steps is None:

@@ -306,14 +306,16 @@ def beam_token_step(
 
     # The layer scan indexes the stacked weights from the CLOSURE instead of
     # passing them as scan xs: under vmap (batched_beam_search, pooled
-    # serving) the scan batching rule would broadcast unbatched xs across
-    # the lane axis — 3 x 14 GB materialised copies of the FFN weights at
-    # 8B/pool-8.  dynamic_index_in_dim from a closed-over array streams the
-    # same bytes with no broadcast.
+    # serving) the scan batching rule broadcasts xs across the lane axis —
+    # 3 x 14 GB materialised copies of the FFN weights at 8B/pool-8.  The
+    # layer index must stay UNBATCHED too (a batched index would turn the
+    # weight lookup into a per-lane gather), so it rides the scan carry,
+    # which keeps its unbatched status under vmap.
     layers = params["layers"]
 
-    def body(h, per_layer):
-        li, pk, pv, gk, gv = per_layer
+    def body(carry, per_layer):
+        h, li = carry
+        pk, pv, gk, gv = per_layer
         lp = jax.tree.map(
             lambda a: lax.dynamic_index_in_dim(a, li, 0, keepdims=False),
             layers,
@@ -367,13 +369,12 @@ def beam_token_step(
         y = _rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
         y = jax.nn.silu(mm(y, lp["w_gate"])) * mm(y, lp["w_up"])
         h = h + mm(y, lp["w_down"])
-        return h, (gk, gv, probe)
+        return (h, li + 1), (gk, gv, probe)
 
-    L = prefix.k.shape[0]
-    h, (new_gk, new_gv, probes) = lax.scan(
-        lambda carry, per: body(carry, per),
-        x_embed,
-        (jnp.arange(L), prefix.k, prefix.v, gen_k, gen_v),
+    (h, _), (new_gk, new_gv, probes) = lax.scan(
+        body,
+        (x_embed, jnp.asarray(0, jnp.int32)),
+        (prefix.k, prefix.v, gen_k, gen_v),
     )
     h = _rms_norm(h, params["final_ln"], cfg.rms_norm_eps)
     logits = mm(h, params["lm_head"])[:, 0, : cfg.vocab_size]  # (beam, V)
