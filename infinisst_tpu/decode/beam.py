@@ -53,6 +53,8 @@ class BeamResult(NamedTuple):
     steps: jnp.ndarray  # scalar int32: loop steps executed
     hit_eos: jnp.ndarray  # scalar bool: winner ended with EOS
     attn_idx: jnp.ndarray  # (max_new,) per-token attn argmax (attn_probe)
+    kv_k: Optional[jnp.ndarray] = None  # (L, G, KV, Dh) winner keys (return_kv)
+    kv_v: Optional[jnp.ndarray] = None  # (L, G, KV, Dh) winner values
 
 
 def beam_search(
@@ -71,6 +73,7 @@ def beam_search(
     attn_probe: Optional[tuple] = None,  # (layer, span_start, span_end)
     first_attn_idx: Optional[jnp.ndarray] = None,  # scalar: probe at prefill
     skip_last_fwd: bool = True,
+    return_kv: bool = False,
 ) -> BeamResult:
     """Run beam search for one chunk.  Static shapes throughout.
 
@@ -79,7 +82,21 @@ def beam_search(
     ``attn_probe`` records, per generated token, the argmax attention index
     over [span_start, span_end) at the given layer (averaged over heads) —
     the AlignAtt policy signal (ref: agents/alignatt.py:150-167).  The
-    winning beam's trace is returned in BeamResult.attn_idx."""
+    winning beam's trace is returned in BeamResult.attn_idx.
+
+    ``return_kv`` additionally returns the winner's generated-token K/V
+    (unrotated, cache layout) in BeamResult.kv_k/kv_v: the beam loop
+    already computed K/V for every generated token, so callers can COMMIT
+    the winning tokens by copying these into the persistent cache instead
+    of replaying them through the model (saves one full weight stream —
+    the "continue from the winning beam's KV" semantic, patch_hf.py:
+    924-935, realised without recompute).  Exactly the first n_emit slots
+    are valid, where n_emit = n_tokens if hit_eos else n_tokens - 1: the
+    EOS token and a cap-dropped final token are never forwarded, so their
+    K/V (correctly) do not exist.  Finished-hypothesis K/V are snapshotted
+    into a per-slot buffer when the hypothesis is added (~1.3 MB/slot at
+    8B/G=10 — far below the reference's whole-cache DynamicCache
+    snapshots)."""
     B = spec.beam
     G = spec.max_new_tokens
     V = first_logits.shape[-1]
@@ -105,6 +122,11 @@ def beam_search(
     fin_tokens0 = jnp.full((B, G), spec.pad_id, jnp.int32)
     fin_len0 = jnp.zeros((B,), jnp.int32)
     fin_scores0 = jnp.full((B,), NEG_INF, jnp.float32)
+    # per-hypothesis K/V snapshots (zero-size L axis when return_kv is off,
+    # so the single code path costs nothing when disabled)
+    Lk = L if return_kv else 0
+    fin_k0 = jnp.zeros((B, Lk, G, KV, Dh), prefix.k.dtype)
+    fin_v0 = jnp.zeros_like(fin_k0)
 
     attn_hist0 = jnp.full((B, G), -1, jnp.int32)
     fin_attn0 = jnp.full((B, G), -1, jnp.int32)
@@ -173,6 +195,8 @@ def beam_search(
             fin_len,
             fin_scores,
             fin_attn,
+            fin_k,
+            fin_v,
         ) = state
 
         scores = jax.nn.log_softmax(logits_cur.astype(jnp.float32), axis=-1)
@@ -194,7 +218,7 @@ def beam_search(
         hyp_score = cand_vals / jnp.maximum(hyp_len, 1.0) ** spec.length_penalty
 
         def add_hyp(i, carry):
-            ft, fl, fs, fa = carry
+            ft, fl, fs, fa, fk, fv = carry
             worst = jnp.argmin(fs)
             better = hyp_score[i] > fs[worst]
             use = eos_ok[i] & better
@@ -204,10 +228,22 @@ def beam_search(
             fl = jnp.where(use, fl.at[worst].set(t), fl)
             fs = jnp.where(use, fs.at[worst].set(hyp_score[i]), fs)
             fa = jnp.where(use, fa.at[worst].set(attn_hist[cand_beam[i]]), fa)
-            return ft, fl, fs, fa
+            # snapshot the source beam's gen K/V (slots 0..t-1 are valid —
+            # the EOS itself was never forwarded); gen_k is pre-reorder
+            # here, which is what cand_beam indexes
+            fk = jnp.where(
+                use, fk.at[worst].set(gen_k[:Lk, cand_beam[i]]), fk
+            )
+            fv = jnp.where(
+                use, fv.at[worst].set(gen_v[:Lk, cand_beam[i]]), fv
+            )
+            return ft, fl, fs, fa, fk, fv
 
-        fin_tokens, fin_len, fin_scores, fin_attn = lax.fori_loop(
-            0, 2 * B, add_hyp, (fin_tokens, fin_len, fin_scores, fin_attn)
+        fin_tokens, fin_len, fin_scores, fin_attn, fin_k, fin_v = (
+            lax.fori_loop(
+                0, 2 * B, add_hyp,
+                (fin_tokens, fin_len, fin_scores, fin_attn, fin_k, fin_v),
+            )
         )
 
         # --- pick next live beams: first B non-EOS candidates
@@ -299,6 +335,8 @@ def beam_search(
             fin_len,
             fin_scores,
             fin_attn,
+            fin_k,
+            fin_v,
         )
 
     def cond_fn(state):
@@ -322,6 +360,8 @@ def beam_search(
         fin_len0,
         fin_scores0,
         fin_attn0,
+        fin_k0,
+        fin_v0,
     )
     final = lax.while_loop(cond_fn, step_fn, init)
     (
@@ -334,12 +374,14 @@ def beam_search(
         _seq_len,
         gen_tokens,
         attn_hist,
-        _gk,
-        _gv,
+        gen_k_f,
+        gen_v_f,
         fin_tokens,
         fin_len,
         fin_scores,
         fin_attn,
+        fin_k,
+        fin_v,
     ) = final
 
     # finalize: if no finished hypothesis, take best live beam (HF finalize
@@ -356,9 +398,14 @@ def beam_search(
     n_tokens = jnp.where(use_fin, fin_len[best_fin], t)
     score = jnp.where(use_fin, fin_scores[best_fin], live_score[best_live])
     attn_idx = jnp.where(use_fin, fin_attn[best_fin], attn_hist[best_live])
+    if return_kv:
+        kv_k = jnp.where(use_fin, fin_k[best_fin], gen_k_f[:, best_live])
+        kv_v = jnp.where(use_fin, fin_v[best_fin], gen_v_f[:, best_live])
+    else:
+        kv_k = kv_v = None
     return BeamResult(
         tokens=tokens, n_tokens=n_tokens, score=score, steps=t,
-        hit_eos=use_fin, attn_idx=attn_idx,
+        hit_eos=use_fin, attn_idx=attn_idx, kv_k=kv_k, kv_v=kv_v,
     )
 
 
@@ -375,6 +422,7 @@ def batched_beam_search(
     encoder_ngram_size: int = 0,
     suppress_mask: Optional[jnp.ndarray] = None,
     max_steps: Optional[jnp.ndarray] = None,  # (B,) per-slot step caps
+    return_kv: bool = False,
 ) -> BeamResult:
     """Beam search for a POOL of independent streams (pooled serving): the
     shared-prefix trick generalised to per-slot prefixes via vmap — each
@@ -393,6 +441,7 @@ def batched_beam_search(
             max_steps=msteps,
             skip_last_fwd=False,  # see note in beam_search: lax.cond under
             # vmap would broadcast the weights per lane
+            return_kv=return_kv,
         )
 
     if max_steps is None:

@@ -220,6 +220,7 @@ class ServingEngine:
                     max_steps=jnp.where(row_active, max_new, 1).astype(
                         jnp.int32
                     ),
+                    return_kv=True,
                 )
                 n_emit = jnp.where(
                     res.hit_eos, res.n_tokens,
@@ -229,13 +230,29 @@ class ServingEngine:
                     jnp.arange(max_new)[None] < n_emit[:, None],
                     res.tokens, cfg.tokens.pad,
                 )
-                commit_emb = llama_mod.embed(params["llama"], toks)
-                commit_mask = (
-                    jnp.arange(max_new)[None] < n_emit[:, None]
-                ).astype(jnp.int32)
-                _, dec3 = llama_mod.decode_step(
-                    params["llama"], cfg.llama, dec2, commit_emb,
-                    valid_mask=commit_mask,
+                # commit by copying the winner's K/V (computed inside the
+                # beam loop) into the cache — no replay forward, which was
+                # a full extra weight stream per tick.  Slots beyond
+                # n_emit land past valid_len (invisible; overwritten by
+                # the next append).
+                kv_k = jnp.moveaxis(res.kv_k, 0, 1)  # (L, B, G, KV, Dh)
+                kv_v = jnp.moveaxis(res.kv_v, 0, 1)
+
+                def append(buf, new):
+                    def per_row(buf_b, new_b, start):
+                        return jax.lax.dynamic_update_slice(
+                            buf_b, new_b.astype(buf_b.dtype),
+                            (0, start, 0, 0),
+                        )
+
+                    return jax.vmap(per_row, in_axes=(1, 1, 0), out_axes=1)(
+                        buf, new, dec2.valid_len
+                    )
+
+                dec3 = dec2._replace(
+                    k=append(dec2.k, kv_k),
+                    v=append(dec2.v, kv_v),
+                    valid_len=dec2.valid_len + n_emit,
                 )
                 return enc2, dec3, windows, toks, n_emit
 
@@ -379,42 +396,52 @@ class ServingEngine:
             ).strip().replace("�", "")
             if text or s.done:
                 out[i] = text
-            self._maybe_evict(i)
+        self._evict_overflowing()
         return out
 
-    def _maybe_evict(self, i: int):
-        s = self.slots[i]
-        if s.cache_len <= self.stream.max_llm_cache_tokens:
-            return
-        new_len = s.cache_len
-        for j, ckpt in enumerate(s.cache_checkpoints):
-            new_len = s.cache_len - ckpt
-            if new_len <= self.stream.max_llm_cache_tokens:
-                s.cache_checkpoints = s.cache_checkpoints[j + 1 :]
-                trimmed = ckpt
-                if self.stream.always_cache_system_prompt:
-                    trimmed -= s.system_prompt_size
-                s.cache_checkpoints = [
-                    c - trimmed for c in s.cache_checkpoints
-                ]
-                break
-        sys_len = (
-            s.system_prompt_size
-            if self.stream.always_cache_system_prompt
-            else 0
-        )
-        # evict only this row: batched gather with per-row keep (other rows
-        # keep their full valid_len, mirrored on host — no device fetch)
+    def _evict_overflowing(self):
+        """Trim every overflowing slot's cache with ONE batched gather.
+
+        In steady state all slots overflow every tick (cache cap
+        max_llm_cache_tokens, ~30-50 new tokens/chunk); dispatching one
+        whole-pool gather per slot cost pool x ~2.7 GB of HBM traffic per
+        tick at 8B/pool-8 — batching the keep lengths makes it one gather
+        regardless of how many slots trim (ref semantics per slot:
+        agents/infinisst.py:340-361)."""
         keep_len = self.valid_len_host.copy()
-        keep_len[i] = new_len
         sys_lens = np.zeros_like(keep_len)
-        sys_lens[i] = sys_len
-        # evict_cache keeps [0:sys] + tail(keep); for untouched rows use
+        any_evict = False
+        for i, s in enumerate(self.slots):
+            if not s.active or s.cache_len <= self.stream.max_llm_cache_tokens:
+                continue
+            new_len = s.cache_len
+            for j, ckpt in enumerate(s.cache_checkpoints):
+                new_len = s.cache_len - ckpt
+                if new_len <= self.stream.max_llm_cache_tokens:
+                    s.cache_checkpoints = s.cache_checkpoints[j + 1 :]
+                    trimmed = ckpt
+                    if self.stream.always_cache_system_prompt:
+                        trimmed -= s.system_prompt_size
+                    s.cache_checkpoints = [
+                        c - trimmed for c in s.cache_checkpoints
+                    ]
+                    break
+            sys_len = (
+                s.system_prompt_size
+                if self.stream.always_cache_system_prompt
+                else 0
+            )
+            keep_len[i] = new_len
+            sys_lens[i] = sys_len
+            s.cache_len = new_len + sys_len
+            self.valid_len_host[i] = s.cache_len
+            any_evict = True
+        if not any_evict:
+            return
+        # evict_cache keeps [0:sys] + tail(keep); untouched rows pass
         # sys=0 and keep=valid_len (identity)
         self.dec_state = self._evict_fn(
             self.dec_state,
             jnp.asarray(keep_len, jnp.int32),
             jnp.asarray(sys_lens, jnp.int32),
         )
-        s.cache_len = new_len + sys_len
-        self.valid_len_host[i] = s.cache_len

@@ -113,3 +113,135 @@ def test_engine_beam_pool():
         eng2.push_audio(t1, a0[t * chunk: (t + 1) * chunk])
         eng2.tick()
     assert eng2.slots[t0].target_ids == eng2.slots[t1].target_ids
+
+
+@pytest.mark.slow
+def test_engine_batched_eviction():
+    """Multiple slots overflowing in the SAME tick are trimmed by one
+    batched gather (_evict_overflowing); identical streams must stay
+    identical through several eviction cycles, and every active slot's
+    cache_len must respect the cap after each tick."""
+    cfg = CFG.replace(tokens=small_special_tokens())
+    stream = StreamConfig(
+        max_cache_frames=96, max_llm_cache_tokens=60, llm_cache_capacity=256
+    )
+    tok = StubTokenizer(512, lo=10, hi=400)
+    builders = {
+        ("English", "German"): PromptBuilder(
+            tok, cfg.tokens, "English", "German"
+        ),
+    }
+    eng = ServingEngine(
+        tiny_params(), cfg, stream, builders, pool_size=3, multiplier=1,
+        max_new_tokens=8, dtype=jnp.float32,
+    )
+    s0 = eng.open_stream("c0")
+    s1 = eng.open_stream("c1")
+    rng = np.random.RandomState(7)
+    chunk = eng.chunk_samples
+    audio = rng.randn(6 * chunk).astype(np.float32) * 0.1
+
+    for t in range(6):
+        seg = audio[t * chunk: (t + 1) * chunk]
+        eng.push_audio(s0, seg)
+        eng.push_audio(s1, seg)
+        eng.tick()
+        for s in (eng.slots[s0], eng.slots[s1]):
+            # cap + one chunk's worth of slack (eviction is checkpoint-
+            # granular: trims to <= cap AFTER the overflowing tick)
+            assert s.cache_len <= stream.max_llm_cache_tokens + s.system_prompt_size
+        # host mirror matches device validity
+        np.testing.assert_array_equal(
+            np.asarray(eng.dec_state.valid_len),
+            eng.valid_len_host.astype(np.int32),
+        )
+    assert eng.slots[s0].target_ids == eng.slots[s1].target_ids
+    assert len(eng.slots[s0].cache_checkpoints) > 0
+
+
+@pytest.mark.slow
+def test_kv_copy_commit_matches_replay():
+    """return_kv commit (copying the beam loop's K/V into the cache) must
+    match the replay commit (re-forwarding the winning tokens) — same
+    values (both compute K/V of the same tokens under the same prefix) and
+    same valid_len advance."""
+    import jax
+
+    from infinisst_tpu.decode import beam as beam_mod
+    from infinisst_tpu.models import llama as llama_mod
+    from infinisst_tpu.streaming.state import init_decoder_state
+    from tests.test_agent import CFG, tiny_params
+
+    cfg = CFG.llama
+    params = tiny_params()["llama"]
+    rng = np.random.RandomState(1)
+    B, C = 2, 64
+    dec = init_decoder_state(
+        cfg.num_layers, B, C, cfg.num_kv_heads, cfg.head_dim, jnp.float32
+    )
+    # prefill a random prompt per slot
+    ids = jnp.asarray(rng.randint(10, 400, (B, 9)), jnp.int32)
+    emb = llama_mod.embed(params, ids)
+    logits, dec = llama_mod.decode_step(params, cfg, dec, emb)
+    last = logits[:, -1]
+
+    spec = beam_mod.BeamSpec(
+        beam=2, max_new_tokens=6, eos_id=501, pad_id=504,
+        no_repeat_ngram_size=3, repetition_penalty=1.2,
+    )
+    hists = jnp.full((B, 20), 504, jnp.int32)
+    hlens = jnp.zeros((B,), jnp.int32)
+    res = beam_mod.batched_beam_search(
+        params, cfg, dec, last, ids, jnp.full((B,), 9, jnp.int32),
+        hists, hlens, spec, return_kv=True,
+    )
+    n_emit = np.asarray(
+        jnp.where(res.hit_eos, res.n_tokens, jnp.maximum(res.n_tokens - 1, 0))
+    )
+    toks = jnp.where(
+        jnp.arange(6)[None] < n_emit[:, None], res.tokens, 504
+    )
+
+    # path A: replay commit
+    commit_emb = llama_mod.embed(params, toks)
+    mask = (jnp.arange(6)[None] < n_emit[:, None]).astype(jnp.int32)
+    _, dec_replay = llama_mod.decode_step(
+        params, cfg, dec, commit_emb, valid_mask=mask
+    )
+
+    # path B: kv-copy commit
+    kv_k = jnp.moveaxis(res.kv_k, 0, 1)
+    kv_v = jnp.moveaxis(res.kv_v, 0, 1)
+
+    def append(buf, new):
+        def per_row(buf_b, new_b, start):
+            return jax.lax.dynamic_update_slice(
+                buf_b, new_b.astype(buf_b.dtype), (0, start, 0, 0)
+            )
+
+        return jax.vmap(per_row, in_axes=(1, 1, 0), out_axes=1)(
+            buf, new, dec.valid_len
+        )
+
+    dec_copy = dec._replace(
+        k=append(dec.k, kv_k), v=append(dec.v, kv_v),
+        valid_len=dec.valid_len + jnp.asarray(n_emit, jnp.int32),
+    )
+
+    assert int(n_emit.sum()) > 0  # the comparison is non-vacuous
+    np.testing.assert_array_equal(
+        np.asarray(dec_replay.valid_len), np.asarray(dec_copy.valid_len)
+    )
+    # compare only the valid region (garbage beyond valid_len may differ)
+    for b in range(B):
+        v = int(dec_copy.valid_len[b])
+        np.testing.assert_allclose(
+            np.asarray(dec_replay.k[:, b, :v]),
+            np.asarray(dec_copy.k[:, b, :v]),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dec_replay.v[:, b, :v]),
+            np.asarray(dec_copy.v[:, b, :v]),
+            rtol=1e-5, atol=1e-5,
+        )
