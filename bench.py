@@ -117,9 +117,14 @@ def main():
         audio = rng.randn(chunk).astype(np.float32) * 0.1
         t0 = time.perf_counter()
         agent.push(audio, finished=False)
+        t1 = time.perf_counter()
         jax.block_until_ready(agent.dec_state.k)
         dt = time.perf_counter() - t0
-        print(f"chunk {i}: {dt:.2f}s", file=sys.stderr, flush=True)
+        print(
+            f"chunk {i}: {dt:.3f}s (push+sync {t1-t0:.3f}s, "
+            f"evict-wait {dt-(t1-t0):.3f}s)",
+            file=sys.stderr, flush=True,
+        )
         if i >= warmup:
             times.append(dt)
     n_tok = len(agent.states.target_ids)

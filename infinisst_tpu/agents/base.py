@@ -64,7 +64,10 @@ class SpeechToTextAgent:
 
     def push(self, samples, sample_rate: int = 16000, finished: bool = False):
         """Feed a segment of audio and run the policy once."""
-        self.states.source.extend(list(samples))
+        # ndarray.tolist() is the fast C path; plain list() on a numpy array
+        # creates one np.float32 object per sample (ms-scale per chunk)
+        ext = samples.tolist() if hasattr(samples, "tolist") else list(samples)
+        self.states.source.extend(ext)
         self.states.source_sample_rate = sample_rate
         self.states.source_finished = finished
         return self.policy(self.states)

@@ -118,6 +118,15 @@ class InfiniSSTAgent(SpeechToTextAgent):
         self._evict_fn = jax.jit(llama_mod.evict_cache, donate_argnums=(0,))
         super().__init__()
         self._init_device_state()
+        # pre-compile the eviction executable so the first mid-stream
+        # eviction doesn't stall a chunk on a jit compile (~1 s): run an
+        # identity eviction (keep = valid_len = 0, sys = 0) on the fresh
+        # state.  The state is donated, so rebind it.
+        self.dec_state = self._evict_fn(
+            self.dec_state,
+            jnp.zeros((1,), jnp.int32),
+            jnp.asarray(0, jnp.int32),
+        )
 
     def _set_multiplier_geometry(self, m: int):
         self.opts.latency_multiplier = m
@@ -396,6 +405,15 @@ class InfiniSSTAgent(SpeechToTextAgent):
         # int16 upload halves link bytes; sources are 16-bit PCM so this is
         # lossless for real audio
         chunk_i16 = np.clip(seg * 32768.0, -32768, 32767).astype(np.int16)
+        import os as _os
+
+        _dbg = _os.environ.get("INFINISST_CHUNK_TIMING")
+        if _dbg:
+            _t0 = perf_counter()
+            dev_chunk = jax.block_until_ready(jnp.asarray(chunk_i16))
+            _t1 = perf_counter()
+        else:
+            dev_chunk = jnp.asarray(chunk_i16)
         (
             packed,
             self.enc_state,
@@ -414,11 +432,21 @@ class InfiniSSTAgent(SpeechToTextAgent):
             self.hist_len,
             self.pend_tokens,
             self.pend_n,
-            jnp.asarray(chunk_i16),
+            dev_chunk,
         )
+        if _dbg:
+            _t2 = perf_counter()
         # the ONLY host sync per chunk (jax.device_get, NOT np.asarray: the
         # latter can hit a pathologically slow path on remote backends)
         packed = jax.device_get(packed)
+        if _dbg:
+            _t3 = perf_counter()
+            print(
+                f"  [chunk-timing] upload {(_t1-_t0)*1e3:.1f}ms "
+                f"dispatch {(_t2-_t1)*1e3:.1f}ms "
+                f"exec+fetch {(_t3-_t2)*1e3:.1f}ms",
+                flush=True,
+            )
         n_emit = int(packed[2])
         out_ids = packed[3 : 3 + n_emit].tolist()
         self.pend_n_host = n_emit

@@ -118,6 +118,13 @@ class ServingEngine:
         self._S = int(np.ceil(smax / 16) * 16)
         self._step_fn = self._build_step()
         self._evict_fn = jax.jit(self._evict_impl)
+        # pre-compile eviction (identity on the fresh all-zero state) so the
+        # first mid-stream eviction doesn't stall a tick on a jit compile
+        self.dec_state = self._evict_fn(
+            self.dec_state,
+            jnp.zeros((pool_size,), jnp.int32),
+            jnp.zeros((pool_size,), jnp.int32),
+        )
 
     # -- slot management -----------------------------------------------------
     def open_stream(self, client_id: str, lang_pair=("English", "German")):

@@ -1,0 +1,137 @@
+"""Micro-benchmarks for decode-loop building blocks on the real TPU.
+
+Run:  python tools_microbench.py [--what select|upload|all]
+
+Every benchmark varies inputs per iteration (the axon dev backend memoizes
+executions with identical (executable, inputs)) and chains data dependencies
+so unfetched executions cannot be elided.
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def timeit(fn, make_args, n=10, warmup=2):
+    import jax
+
+    for i in range(warmup):
+        out = fn(*make_args(i))
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(n):
+        out = fn(*make_args(warmup + i))
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def bench_select():
+    """Exact top-2B selection over (B, V) beam scores: the non-matmul part
+    of the beam step.  Candidates must be exact (HF beam parity)."""
+    import jax
+    import jax.numpy as jnp
+
+    B, V = 4, 128256
+    K = 2 * B
+    NEG_INF = -1e9
+    rng = np.random.RandomState(0)
+    xs = [jnp.asarray(rng.randn(B, V).astype(np.float32)) for _ in range(16)]
+
+    def unrolled(total):
+        flat = total.reshape(-1)
+        vals, idxs = [], []
+        for _ in range(K):
+            i = jnp.argmax(flat)
+            vals.append(flat[i])
+            idxs.append(i)
+            flat = flat.at[i].set(NEG_INF)
+        return jnp.stack(vals), jnp.stack(idxs).astype(jnp.int32)
+
+    def topk(total):
+        v, i = jax.lax.top_k(total.reshape(-1), K)
+        return v, i.astype(jnp.int32)
+
+    def hier(total):
+        # two-stage exact top-k: per-block top-K then top-K of candidates
+        flat = total.reshape(-1)  # B*V = 513024
+        Wd = 1024
+        nb = flat.shape[0] // Wd  # 501 blocks (exact: 513024 = 501*1024)
+        blocks = flat.reshape(nb, Wd)
+        bv, bi = jax.lax.top_k(blocks, K)  # (nb, K)
+        cand = bv.reshape(-1)
+        ci = (bi + (jnp.arange(nb) * Wd)[:, None]).reshape(-1)
+        v, i = jax.lax.top_k(cand, K)
+        return v, ci[i].astype(jnp.int32)
+
+    def approx(total):
+        v, i = jax.lax.approx_max_k(
+            total.reshape(-1), K, recall_target=0.99,
+            aggregate_to_topk=True,
+        )
+        return v, i.astype(jnp.int32)
+
+    ref_fn = jax.jit(topk)
+    for name, fn in [
+        ("unrolled-argmax(8)", unrolled),
+        ("lax.top_k(flat)", topk),
+        ("hier top_k 1024-blk", hier),
+        ("approx_max_k r=.99", approx),
+    ]:
+        jf = jax.jit(fn)
+        # correctness vs exact top_k (values; indices may tie-break apart)
+        v_ref, _ = ref_fn(xs[0])
+        v_got, _ = jf(xs[0])
+        ok = bool(jnp.allclose(jnp.sort(v_ref), jnp.sort(v_got)))
+        t = timeit(jf, lambda i: (xs[i % 16],))
+        print(f"select {name:22s}: {t*1e3:.3f} ms  exact={ok}", flush=True)
+
+
+def bench_upload():
+    """Host->device transfer latency vs payload size on this link."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    for kb in (15, 30, 60, 120, 240, 480):
+        n = kb * 512  # int16 samples
+        bufs = [rng.randint(-1000, 1000, (n,)).astype(np.int16)
+                for _ in range(8)]
+
+        def up(i):
+            a = jax.device_put(bufs[i % 8])
+            return jax.block_until_ready(a)
+
+        for i in range(2):
+            up(i)
+        t0 = time.perf_counter()
+        for i in range(8):
+            up(2 + i)
+        t = (time.perf_counter() - t0) / 8
+        print(f"upload {kb:4d} KB: {t*1e3:7.2f} ms "
+              f"({kb/1024/t:.2f} MB/s)", flush=True)
+
+    # round-trip: tiny fetch
+    a = jax.device_put(np.zeros((64,), np.int32))
+    ts = []
+    for i in range(8):
+        b = a + i
+        t0 = time.perf_counter()
+        jax.device_get(b)
+        ts.append(time.perf_counter() - t0)
+    print(f"tiny fetch RTT: {np.mean(ts)*1e3:.2f} ms", flush=True)
+
+
+def main():
+    what = (
+        sys.argv[sys.argv.index("--what") + 1]
+        if "--what" in sys.argv else "all"
+    )
+    if what in ("select", "all"):
+        bench_select()
+    if what in ("upload", "all"):
+        bench_upload()
+
+
+if __name__ == "__main__":
+    main()

@@ -50,6 +50,7 @@ def main():
 
     model = sys.argv[sys.argv.index("--model") + 1] if "--model" in sys.argv else "bench"
     beam_n = int(sys.argv[sys.argv.index("--beam") + 1]) if "--beam" in sys.argv else 4
+    mult = int(sys.argv[sys.argv.index("--mult") + 1]) if "--mult" in sys.argv else 1
     dtype = jnp.bfloat16
     k = jax.random.PRNGKey(0)
     stream = StreamConfig()
@@ -75,8 +76,8 @@ def main():
             "adapter": A.init_params(jax.random.fold_in(k, 1), cfg.adapter, dtype),
             "llama": L.init_params(jax.random.fold_in(k, 2), cfg.llama, dtype),
         }
-    m = 1
-    chunk_frames = 48
+    m = mult
+    chunk_frames = 48 * m
     enc = init_encoder_state(
         cfg.w2v2.encoder_layers, 1, stream.max_cache_frames,
         cfg.w2v2.encoder_attention_heads, cfg.w2v2.head_dim, dtype,
@@ -87,7 +88,7 @@ def main():
     )
     rng = np.random.RandomState(0)
     windows = [
-        jnp.asarray(rng.randn(1, 399 + 2 * 15360).astype(np.float32) * 0.1)
+        jnp.asarray(rng.randn(1, 399 + 2 * 15360 * m).astype(np.float32) * 0.1)
         for _ in range(16)
     ]
     builder = PromptBuilder(StubTokenizer(cfg.llama.vocab_size), cfg.tokens)
@@ -118,7 +119,7 @@ def main():
 
     # 3. beam search alone (vary first_logits to defeat memoization)
     spec = beam_mod.BeamSpec(
-        beam=beam_n, max_new_tokens=10, eos_id=cfg.tokens.eos,
+        beam=beam_n, max_new_tokens=10 * m, eos_id=cfg.tokens.eos,
         pad_id=cfg.tokens.pad, no_repeat_ngram_size=5,
         repetition_penalty=1.2,
     )
@@ -145,7 +146,7 @@ def main():
     )
 
     # 3b. single beam token step
-    G = 10
+    G = 10 * m
     gen_k = jnp.zeros(
         (cfg.llama.num_layers, beam_n, G, cfg.llama.num_kv_heads,
          cfg.llama.head_dim), dtype,
