@@ -63,6 +63,8 @@ def main():
         beam = int(sys.argv[sys.argv.index("--beam") + 1]) if "--beam" in sys.argv else 4
         return bench_serve(multiplier, n_chunks, pool=pool, model=model,
                            beam=beam)
+    if mode == "train":
+        return bench_train(multiplier, n_steps=n_chunks)
 
     if model == "8b":
         # full Llama-3.1-8B architecture, int8 projections + int8-W8A8
@@ -237,6 +239,110 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
         f"pool={pool} chunks={n_chunks} wall={wall:.2f}s tokens={n_tok} "
         f"per-stream RTF={wall/audio_s:.3f}",
         file=sys.stderr,
+    )
+
+
+def bench_train(multiplier: int, n_steps: int = 12):
+    """Training-step throughput on real TPU: the stage-1 recipe (frozen
+    LLM, trainable encoder+adapter; ref scripts/train/stage1.sh) on the
+    1.5B-class config with reference-scale shapes — 28.8 s document
+    windows (30*960 ms, the trajectory re-slicing bound,
+    /root/reference/preprocess/build_trajectory_full_mfa.py:180-224) and a
+    ~1.2k-token batch (the reference's SpeechSampler token budget,
+    train/dataset.py:223-248).  Metric: speech seconds trained per
+    second per chip (vs_baseline: x realtime).  The multi-chip dp+ZeRO
+    train step is exercised by __graft_entry__.dryrun_multichip."""
+    import os
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+
+    from infinisst_tpu.core.config import StreamConfig
+    from infinisst_tpu.core.presets import bench_1chip_config
+    from infinisst_tpu.models import adapter as A
+    from infinisst_tpu.models import llama as L
+    from infinisst_tpu.models import wav2vec2 as W
+    from infinisst_tpu.train import step as tstep
+
+    cfg = bench_1chip_config()
+    stream = StreamConfig()
+    dtype = jnp.bfloat16
+    k = jax.random.PRNGKey(0)
+    params = {
+        "w2v2": W.init_params(jax.random.fold_in(k, 0), cfg.w2v2, dtype),
+        "adapter": A.init_params(jax.random.fold_in(k, 1), cfg.adapter, dtype),
+        "llama": L.init_params(jax.random.fold_in(k, 2), cfg.llama, dtype),
+    }
+    freeze = tstep.FreezeConfig.stage1()
+    tx = tstep.make_optimizer(
+        tstep.OptimConfig(learning_rate=2e-4, warmup_steps=1000,
+                          total_steps=100_000),
+        params, freeze,
+    )
+    state = tstep.init_train_state(params, tx)
+
+    # 28.8 s windows, 360 speech tokens each, ~240 target tokens
+    B = 2
+    n_frames = 48 * 30  # 1440 frames = 28.8 s
+    n_samples = 399 + n_frames * 320
+    sp = n_frames // 4
+    S = sp + 240
+    rng = np.random.RandomState(0)
+    ids = np.full((B, S), 7, np.int32)
+    ids[:, 2: 2 + sp] = 1008
+    labels = np.where(np.arange(S)[None] >= sp + 4, ids, -100)
+    step_fn = jax.jit(
+        tstep.make_train_step(
+            cfg, tx, 48, stream.max_cache_frames, multiplier=multiplier,
+            freeze=freeze, remat=True,
+        ),
+        donate_argnums=(0,),
+    )
+
+    def make_batch(i):
+        return tstep.Batch(
+            speech=jnp.asarray(
+                rng.randn(B, n_samples).astype(np.float32) * 0.1
+            ),
+            frame_lengths=jnp.full((B,), n_frames, jnp.int32),
+            input_ids=jnp.asarray(ids),
+            labels=jnp.asarray(labels.astype(np.int32)),
+            attention_mask=jnp.ones((B, S), jnp.int32),
+            patch_mask=jnp.asarray(ids == 1008),
+        )
+
+    print("compiling train step...", file=sys.stderr, flush=True)
+    times = []
+    warmup = 2
+    for i in range(n_steps):
+        batch = make_batch(i)
+        t0 = time.perf_counter()
+        state, metrics = step_fn(state, batch)
+        jax.block_until_ready(metrics["loss"])
+        dt = time.perf_counter() - t0
+        print(f"step {i}: {dt:.3f}s loss={float(metrics['loss']):.3f}",
+              file=sys.stderr, flush=True)
+        if i >= warmup:
+            times.append(dt)
+
+    speech_s = B * n_frames * 0.02  # 20 ms per frame
+    sps = speech_s / float(np.mean(times))
+    result = {
+        "metric": "train_stage1_speech_s_per_s_1chip_1.5b",
+        "value": round(sps, 2),
+        "unit": "speech_s/s/chip",
+        "vs_baseline": round(sps / 1.0, 2),  # x realtime per chip
+    }
+    print(json.dumps(result))
+    print(
+        f"B={B} window=28.8s steps={len(times)} "
+        f"mean={np.mean(times)*1e3:.0f}ms", file=sys.stderr,
     )
 
 
