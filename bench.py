@@ -65,6 +65,8 @@ def main():
                            beam=beam)
     if mode == "train":
         return bench_train(multiplier, n_steps=n_chunks)
+    if mode == "streamatt":
+        return bench_streamatt(n_chunks=max(n_chunks, 40))
 
     if model == "8b":
         # full Llama-3.1-8B architecture, int8 projections + int8-W8A8
@@ -238,6 +240,90 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
     print(
         f"pool={pool} chunks={n_chunks} wall={wall:.2f}s tokens={n_tok} "
         f"per-stream RTF={wall/audio_s:.3f}",
+        file=sys.stderr,
+    )
+
+
+def bench_streamatt(n_chunks: int = 40):
+    """StreamAtt baseline-agent RTF on real TPU at 8B-int8: the reference's
+    "Offline-checkpoint" streaming condition (scripts/infer/streamatt.sh) —
+    full recompute of the (<=28.8 s, pruned) audio + target prefix each
+    960 ms chunk, attention-guided emission.  Reference RTF on L40S:
+    0.67-0.93 (StreamAtt+, plots cell 9 / BASELINE.md).  Audio buckets are
+    coarse (10 chunks) so the one-time compile set is 3 audio shapes; the
+    steady state (28.8 s cap) dominates the mean.  Chinese target mode so
+    the stub tokenizer's word-boundary rules behave like a real stream."""
+    import os
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+
+    from infinisst_tpu.agents.streamatt import (
+        StreamAttAgent,
+        StreamAttOptions,
+    )
+    from infinisst_tpu.core.config import StreamConfig
+    from infinisst_tpu.core.presets import flagship_config
+    from infinisst_tpu.data.template import PromptBuilder, StubTokenizer
+    from infinisst_tpu.models import adapter as A
+    from infinisst_tpu.models import wav2vec2 as W
+    from infinisst_tpu.models.quant import init_quantized_llama
+
+    cfg = flagship_config()
+    dtype = jnp.bfloat16
+    k = jax.random.PRNGKey(0)
+    params = {
+        "w2v2": W.init_params(jax.random.fold_in(k, 0), cfg.w2v2, dtype),
+        "adapter": A.init_params(jax.random.fold_in(k, 1), cfg.adapter, dtype),
+        "llama": init_quantized_llama(
+            jax.random.fold_in(k, 2), cfg.llama, act_int8=True,
+            lm_head_int8=True,
+        ),
+    }
+    stream = StreamConfig()
+    builder = PromptBuilder(StubTokenizer(cfg.llama.vocab_size), cfg.tokens)
+    opts = StreamAttOptions(
+        beam=4,
+        target_lang="Chinese",
+        frame_num=2,
+        length_bucket_chunks=10,
+        max_audio_chunks=30,
+        attn_early_stop=True,  # in-loop attention stop (see AlignAttOptions)
+    )
+    agent = StreamAttAgent(params, cfg, stream, builder, opts,
+                           param_dtype=dtype)
+    print("agent ready; buckets will compile...", file=sys.stderr, flush=True)
+
+    rng = np.random.RandomState(0)
+    chunk = agent.unit_samples  # 960 ms reads (streamatt source segment)
+    times = []
+    for i in range(n_chunks):
+        audio = rng.randn(chunk).astype(np.float32) * 0.1
+        t0 = time.perf_counter()
+        agent.push(audio, finished=False)
+        dt = time.perf_counter() - t0
+        print(f"chunk {i}: {dt:.3f}s tgt={len(agent.states.target_ids)}",
+              file=sys.stderr, flush=True)
+        # steady state = the 28.8 s-cap shape; skip all warmup/bucket-growth
+        if i >= 32:
+            times.append(dt)
+    rtf = float(np.mean(times)) / 0.96
+    result = {
+        "metric": "streamatt_rtf_beam4_8b_int8",
+        "value": round(rtf, 4),
+        "unit": "rtf",
+        "vs_baseline": round(0.67 / rtf, 3),  # best reference StreamAtt+ RTF
+    }
+    print(json.dumps(result))
+    print(
+        f"chunks={len(times)} mean={np.mean(times)*1e3:.1f}ms "
+        f"p90={np.percentile(times,90)*1e3:.1f}ms",
         file=sys.stderr,
     )
 

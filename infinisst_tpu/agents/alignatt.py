@@ -57,6 +57,13 @@ class AlignAttOptions(InfiniSSTOptions):
     # shapes x a bounded number of 64-token prompt buckets.
     max_audio_chunks: int = 30  # 28.8 s
     max_prompt_target_tokens: int = 256
+    # TPU-native early stop: end the beam loop once every live beam has an
+    # in-zone token (decode/beam.py attn_stop_idx) instead of generating to
+    # the length cap and truncating post-hoc like the reference
+    # (agents/alignatt.py:150-167).  The emitted prefix semantics are the
+    # same, but the beam winner is selected among early-stopped hypotheses
+    # — off by default for exact reference parity.
+    attn_early_stop: bool = False
 
 
 class AlignAttStates(AgentStates):
@@ -102,8 +109,11 @@ class AlignAttAgent(InfiniSSTAgent):
         patch_start = self.builder.offline_prompt(n_speech, []).patch_start
         probe = (opts.attn_layer, patch_start, patch_start + n_speech)
 
+        early_stop = opts.attn_early_stop
+
         @jax.jit
-        def offline_generate(params, audio, ids, prompt_len, max_steps):
+        def offline_generate(params, audio, ids, prompt_len, max_steps,
+                             attn_stop_idx):
             # audio: (1, 399 + n_frames*320); ids: (1, Sbucket) padded
             frames = w2v2_mod.forward(
                 params["w2v2"], cfg.w2v2, audio,
@@ -138,6 +148,7 @@ class AlignAttAgent(InfiniSSTAgent):
                 max_steps=max_steps,
                 attn_probe=probe,
                 first_attn_idx=first_attn,
+                attn_stop_idx=attn_stop_idx if early_stop else None,
             )
             # attention trace of the re-computed target prefix rows
             # (ref :150-154): rows sys..prompt_len-1 cover the target ids
@@ -188,6 +199,16 @@ class AlignAttAgent(InfiniSSTAgent):
         max_steps = max(1, max_tokens - len(states.target_ids))
         max_steps = min(max_steps, opts.decode_buf_tokens)
 
+        # early-stop zone start (token-index over the speech span); disabled
+        # (huge) when the source is finished — emission then uses all tokens
+        real_speech_pre = int(
+            np.ceil(len(src) / (SAMPLES_PER_SPEECH_TOKEN * 12)) * 12
+        )
+        stop_idx = (
+            real_speech_pre - opts.frame_num
+            if not states.source_finished
+            else 2**30
+        )
         fn = self._offline_fn(n_units, pbucket)
         res, probes = fn(
             self.params,
@@ -195,6 +216,7 @@ class AlignAttAgent(InfiniSSTAgent):
             jnp.asarray(ids),
             jnp.asarray(plen, jnp.int32),
             jnp.asarray(max_steps, jnp.int32),
+            jnp.asarray(stop_idx, jnp.int32),
         )
         res_h, probes_h = jax.device_get((res, probes))
         n_tok = int(res_h.n_tokens)
@@ -219,22 +241,39 @@ class AlignAttAgent(InfiniSSTAgent):
             )
             # the reference scans range(len(output_ids)-1) — the final beam
             # token is ALWAYS withheld mid-stream, even when every token
-            # attends outside the last frame_num frames (ref :150-167)
+            # attends outside the last frame_num frames (ref :150-167).
+            # With attn_early_stop the loop ends AT the first in-zone token,
+            # so that token sits at index n_tok-1 and the scan must include
+            # it (the reference would have generated past it); the trim
+            # guard is then "the scan broke on an in-zone token".
+            scan_bound = n_tok if opts.attn_early_stop else max(n_tok - 1, 0)
             cnt = 0
-            for i, a in enumerate(attn_idx[: max(n_tok - 1, 0)]):
+            broke = False
+            for i, a in enumerate(attn_idx[:scan_bound]):
                 if a >= real_speech - opts.frame_num:
+                    broke = True
                     break
                 states.most_attended_indices.append(
                     tail_start + a * SAMPLES_PER_SPEECH_TOKEN
                 )
                 cnt += 1
+            if opts.attn_early_stop and not broke:
+                # no in-zone token: withhold the final token as the
+                # reference's range(len-1) bound does
+                cnt = min(cnt, max(n_tok - 1, 0))
+                states.most_attended_indices = states.most_attended_indices[
+                    : len(states.most_attended_indices) - (1 if cnt < n_tok else 0)
+                ]
             prediction_ids = out_ids[:cnt]
             if "�" in self.tokenizer.decode(prediction_ids):
                 prediction_ids = prediction_ids[:-1]
             if opts.target_lang != "Chinese":
                 # word-boundary trim (ref :170-179; guard mirrors the
                 # reference's cnt < len(output_ids)-1 bound)
-                if cnt < n_tok - 1 and not self.tokenizer.decode(
+                trim_guard = (
+                    broke if opts.attn_early_stop else cnt < n_tok - 1
+                )
+                if trim_guard and cnt < n_tok and not self.tokenizer.decode(
                     [out_ids[cnt]]
                 ).startswith(" "):
                     prediction_ids = prediction_ids[:-1]

@@ -72,6 +72,7 @@ def beam_search(
     max_steps: Optional[jnp.ndarray] = None,  # traced cap <= max_new_tokens
     attn_probe: Optional[tuple] = None,  # (layer, span_start, span_end)
     first_attn_idx: Optional[jnp.ndarray] = None,  # scalar: probe at prefill
+    attn_stop_idx: Optional[jnp.ndarray] = None,  # scalar: early-stop zone
     skip_last_fwd: bool = True,
     return_kv: bool = False,
 ) -> BeamResult:
@@ -83,6 +84,16 @@ def beam_search(
     over [span_start, span_end) at the given layer (averaged over heads) —
     the AlignAtt policy signal (ref: agents/alignatt.py:150-167).  The
     winning beam's trace is returned in BeamResult.attn_idx.
+
+    ``attn_stop_idx`` (requires ``attn_probe``) terminates the loop once
+    EVERY live beam has produced at least one token whose probed attention
+    index is >= attn_stop_idx — the AlignAtt stop zone.  The emission rule
+    discards everything from the first in-zone token on, so the discarded
+    tail is never generated (the reference generates to the length cap and
+    truncates post-hoc, agents/alignatt.py:150-167; the in-jit probe makes
+    the early exit free).  Caveat: the winning hypothesis is then selected
+    among the shorter, early-stopped beams, which can differ from the
+    reference's full-length selection — keep it off for exact parity.
 
     ``return_kv`` additionally returns the winner's generated-token K/V
     (unrotated, cache layout) in BeamResult.kv_k/kv_v: the beam loop
@@ -288,6 +299,12 @@ def beam_search(
             | (t_next >= max_steps)
             | ((n_fin >= B) & (worst_fin >= best_possible))
         )
+        if attn_probe is not None and attn_stop_idx is not None:
+            # AlignAtt early stop: every live beam has an in-zone token
+            # (slots > t hold -1 and never match a non-negative stop idx)
+            done_now = done_now | jnp.all(
+                jnp.any(attn_hist >= attn_stop_idx, axis=1)
+            )
 
         # --- forward the next token for all beams; skipped via cond on the
         # final iteration (its logits would be unused — saves one full

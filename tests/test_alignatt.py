@@ -16,7 +16,7 @@ def _mk(agent_cls, opts_cls, **opt_kw):
     cfg = CFG.replace(tokens=small_special_tokens())
     stream = StreamConfig(max_cache_frames=96, llm_cache_capacity=256)
     builder = PromptBuilder(StubTokenizer(512, lo=10, hi=400), cfg.tokens)
-    opts = opts_cls(
+    base_kw = dict(
         latency_multiplier=1,
         beam=2,
         attn_layer=1,
@@ -24,8 +24,9 @@ def _mk(agent_cls, opts_cls, **opt_kw):
         length_bucket_chunks=2,
         decode_buf_tokens=16,
         no_repeat_ngram_lookback=16,
-        **opt_kw,
     )
+    base_kw.update(opt_kw)
+    opts = opts_cls(**base_kw)
     return agent_cls(
         tiny_params(), cfg, stream, builder, opts, param_dtype=jnp.float32
     )
@@ -85,3 +86,38 @@ def test_alignatt_bounded_compile_set():
     # attention bookkeeping keeps ABSOLUTE stream positions after the cap
     if agent.states.most_attended_indices:
         assert max(agent.states.most_attended_indices) <= 8 * chunk
+
+
+@pytest.mark.slow
+def test_attn_early_stop_beam1_parity():
+    """attn_early_stop ends the beam loop at the stop zone instead of
+    generating to the cap (decode/beam.py attn_stop_idx).  With beam=1 and
+    EOS suppressed there are no finished hypotheses, so the winner is the
+    (deterministic) live beam in both modes and emission must match the
+    full-run (reference-parity) mode exactly.  (With EOS hypotheses the
+    winner may legitimately differ — the documented early-stop caveat.)"""
+    outs = {}
+    eos = small_special_tokens().eos
+    for early in (False, True):
+        agent = _mk(
+            AlignAttAgent, AlignAttOptions, beam=1, attn_early_stop=early,
+            suppress_tokens=np.asarray([eos]),
+        )
+        rng = np.random.RandomState(3)
+        chunk = 15360
+        for i in range(3):
+            agent.push(rng.randn(chunk).astype(np.float32) * 0.1,
+                       finished=(i == 2))
+        outs[early] = list(agent.states.target_ids)
+    assert outs[True] == outs[False], outs
+
+
+@pytest.mark.slow
+def test_attn_early_stop_beam2_smoke():
+    agent = _mk(AlignAttAgent, AlignAttOptions, attn_early_stop=True)
+    rng = np.random.RandomState(4)
+    chunk = 15360
+    for i in range(3):
+        act = agent.push(rng.randn(chunk).astype(np.float32) * 0.1,
+                         finished=(i == 2))
+    assert not act.is_read() and act.finished
