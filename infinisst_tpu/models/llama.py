@@ -415,7 +415,14 @@ def evict_cache(
     )(vlen, keep_len, sys_len)  # (B, C)
 
     def gather(buf):  # (L,B,C,KV,Dh)
-        return jnp.take_along_axis(buf, idx[None, :, :, None, None], axis=2)
+        # row-gather per (layer, batch) with a (C,) index — take_along_axis
+        # would broadcast the index to the full buffer shape (an int32
+        # transient 2x the cache itself: ~5.4 GB at 8B pool-16, the OOM
+        # that killed pool-16 serving)
+        def per_l(buf_l):  # (B, C, KV, Dh)
+            return jax.vmap(lambda m, i: m[i])(buf_l, idx)
+
+        return jax.vmap(per_l)(buf)
 
     return DecoderState(
         k=gather(state.k),

@@ -117,7 +117,7 @@ class ServingEngine:
         )
         self._S = int(np.ceil(smax / 16) * 16)
         self._step_fn = self._build_step()
-        self._evict_fn = jax.jit(self._evict_impl)
+        self._evict_fn = jax.jit(self._evict_impl, donate_argnums=(0,))
         # pre-compile eviction (identity on the fresh all-zero state) so the
         # first mid-stream eviction doesn't stall a tick on a jit compile
         self.dec_state = self._evict_fn(

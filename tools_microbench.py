@@ -87,6 +87,75 @@ def bench_select():
         print(f"select {name:22s}: {t*1e3:.3f} ms  exact={ok}", flush=True)
 
 
+def bench_int4():
+    """Decode-shape matmul with int4 weights vs int8 vs bf16: is a W4A8
+    path viable on this chip?  Shapes: the 8B FFN projection (4096 x
+    14336) at M=4 (beam rows), the bandwidth-dominant decode op."""
+    import jax
+    import jax.numpy as jnp
+
+    # weights created ON DEVICE (a 58 MB host upload can wedge this link)
+    k = jax.random.PRNGKey(0)
+    M, K, N = 4, 4096, 14336
+    w8 = jax.block_until_ready(
+        jax.random.randint(k, (K, N), -127, 128, jnp.int32).astype(jnp.int8)
+    )
+    wbf = jax.block_until_ready(
+        jax.random.normal(jax.random.fold_in(k, 1), (K, N), jnp.bfloat16)
+    )
+    xs8 = [
+        jax.random.randint(jax.random.fold_in(k, 2 + i), (M, K), -127, 128,
+                           jnp.int32).astype(jnp.int8)
+        for i in range(16)
+    ]
+    xsb = [
+        jax.random.normal(jax.random.fold_in(k, 40 + i), (M, K),
+                          jnp.bfloat16) * 0.02
+        for i in range(16)
+    ]
+    print("operands ready", flush=True)
+
+    def dot_i8(x):
+        return jax.lax.dot_general(
+            x, w8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    def dot_bf(x):
+        return x @ wbf
+
+    t8 = timeit(jax.jit(dot_i8), lambda i: (xs8[i % 16],))
+    tb = timeit(jax.jit(dot_bf), lambda i: (xsb[i % 16],))
+    print(f"int8xint8 dot {M}x{K}x{N}: {t8*1e3:.3f} ms "
+          f"({K*N/1e9/t8:.0f} GB/s weight stream)", flush=True)
+    print(f"bf16 dot      {M}x{K}x{N}: {tb*1e3:.3f} ms "
+          f"({2*K*N/1e9/tb:.0f} GB/s)", flush=True)
+
+    try:
+        w4 = w8.astype(jnp.int4)
+
+        def dot_i4(x):
+            return jax.lax.dot_general(
+                x.astype(jnp.int4), w4, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+
+        t4 = timeit(jax.jit(dot_i4), lambda i: (xs8[i % 16],))
+        print(f"int4xint4 dot {M}x{K}x{N}: {t4*1e3:.3f} ms "
+              f"({K*N/2/1e9/t4:.0f} GB/s weight stream)", flush=True)
+
+        def dot_i4w(x):  # int4 weights, int8 activations (W4A8)
+            return jax.lax.dot_general(
+                x, w4.astype(jnp.int8), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+
+        t4w = timeit(jax.jit(dot_i4w), lambda i: (xs8[i % 16],))
+        print(f"int4->int8 convert+dot:   {t4w*1e3:.3f} ms", flush=True)
+    except Exception as e:
+        print(f"int4 unsupported: {type(e).__name__}: {e}", flush=True)
+
+
 def bench_upload():
     """Host->device transfer latency vs payload size on this link."""
     import jax
@@ -129,6 +198,8 @@ def main():
     )
     if what in ("select", "all"):
         bench_select()
+    if what in ("int4",):
+        bench_int4()
     if what in ("upload", "all"):
         bench_upload()
 
