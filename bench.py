@@ -374,7 +374,7 @@ def bench_train(multiplier: int, n_steps: int = 12):
     state = tstep.init_train_state(params, tx)
 
     # 28.8 s windows, 360 speech tokens each, ~240 target tokens
-    B = 2
+    B = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 2
     n_frames = 48 * 30  # 1440 frames = 28.8 s
     n_samples = 399 + n_frames * 320
     sp = n_frames // 4
