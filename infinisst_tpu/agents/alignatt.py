@@ -80,6 +80,8 @@ class AlignAttAgent(InfiniSSTAgent):
     """Offline-model attention policy.  Reuses InfiniSSTAgent's model
     bundle; the streaming caches are unused (full recompute per call)."""
 
+    _uses_eviction = False  # no eviction pre-warm (never evicts)
+
     def __init__(self, params, model_cfg, stream_cfg, builder, opts, **kw):
         self._offline_fns: Dict = {}
         super().__init__(params, model_cfg, stream_cfg, builder, opts, **kw)
@@ -235,44 +237,47 @@ class AlignAttAgent(InfiniSSTAgent):
 
         if not states.source_finished:
             # stop at the first token attending within the last frame_num
-            # frames of the *real* (unpadded) speech span
-            real_speech = int(
-                np.ceil(len(src) / (SAMPLES_PER_SPEECH_TOKEN * 12)) * 12
-            )
+            # frames of the *real* (unpadded) speech span.  The zone start
+            # MUST be the same value the beam loop stopped on (stop_idx,
+            # computed once above) or the in-jit stop and the host emission
+            # rule desynchronise.
+            #
             # the reference scans range(len(output_ids)-1) — the final beam
             # token is ALWAYS withheld mid-stream, even when every token
             # attends outside the last frame_num frames (ref :150-167).
             # With attn_early_stop the loop ends AT the first in-zone token,
             # so that token sits at index n_tok-1 and the scan must include
             # it (the reference would have generated past it); the trim
-            # guard is then "the scan broke on an in-zone token".
-            scan_bound = n_tok if opts.attn_early_stop else max(n_tok - 1, 0)
+            # guard is then "the scan broke on an in-zone token".  When the
+            # loop instead ran to the max_steps cap (n_tok == max_steps,
+            # which includes a zone-stop landing exactly on the cap step),
+            # fall back to the parity-mode semantics so early-stop output
+            # is identical to the full run in every cap-bound case.
+            early = opts.attn_early_stop and n_tok < max_steps
+            scan_bound = n_tok if early else max(n_tok - 1, 0)
             cnt = 0
             broke = False
             for i, a in enumerate(attn_idx[:scan_bound]):
-                if a >= real_speech - opts.frame_num:
+                if a >= stop_idx:
                     broke = True
                     break
                 states.most_attended_indices.append(
                     tail_start + a * SAMPLES_PER_SPEECH_TOKEN
                 )
                 cnt += 1
-            if opts.attn_early_stop and not broke:
-                # no in-zone token: withhold the final token as the
-                # reference's range(len-1) bound does
-                cnt = min(cnt, max(n_tok - 1, 0))
-                states.most_attended_indices = states.most_attended_indices[
-                    : len(states.most_attended_indices) - (1 if cnt < n_tok else 0)
-                ]
+            if early and not broke and cnt > max(n_tok - 1, 0):
+                # zone-stopped loop but the WINNER's trace has no in-zone
+                # token (an EOS hypothesis finished earlier): withhold the
+                # final token as the reference's range(len-1) bound does
+                cnt = max(n_tok - 1, 0)
+                states.most_attended_indices.pop()
             prediction_ids = out_ids[:cnt]
             if "�" in self.tokenizer.decode(prediction_ids):
                 prediction_ids = prediction_ids[:-1]
             if opts.target_lang != "Chinese":
                 # word-boundary trim (ref :170-179; guard mirrors the
                 # reference's cnt < len(output_ids)-1 bound)
-                trim_guard = (
-                    broke if opts.attn_early_stop else cnt < n_tok - 1
-                )
+                trim_guard = broke if early else cnt < n_tok - 1
                 if trim_guard and cnt < n_tok and not self.tokenizer.decode(
                     [out_ids[cnt]]
                 ).startswith(" "):

@@ -77,6 +77,10 @@ class InfiniSSTOptions:
 
 
 class InfiniSSTAgent(SpeechToTextAgent):
+    # subclasses with offline policies (AlignAtt/StreamAtt) never evict the
+    # streaming LLM cache; they override this to skip the eviction pre-warm
+    _uses_eviction = True
+
     def __init__(
         self,
         params,
@@ -122,11 +126,12 @@ class InfiniSSTAgent(SpeechToTextAgent):
         # eviction doesn't stall a chunk on a jit compile (~1 s): run an
         # identity eviction (keep = valid_len = 0, sys = 0) on the fresh
         # state.  The state is donated, so rebind it.
-        self.dec_state = self._evict_fn(
-            self.dec_state,
-            jnp.zeros((1,), jnp.int32),
-            jnp.asarray(0, jnp.int32),
-        )
+        if self._uses_eviction:
+            self.dec_state = self._evict_fn(
+                self.dec_state,
+                jnp.zeros((1,), jnp.int32),
+                jnp.asarray(0, jnp.int32),
+            )
 
     def _set_multiplier_geometry(self, m: int):
         self.opts.latency_multiplier = m

@@ -3,8 +3,10 @@
 Run:  python tools_microbench.py [--what select|upload|all]
 
 Every benchmark varies inputs per iteration (the axon dev backend memoizes
-executions with identical (executable, inputs)) and chains data dependencies
-so unfetched executions cannot be elided.
+executions with identical (executable, inputs)).  Calls are pipelined (one
+final block_until_ready), so per-op numbers INCLUDE amortised dispatch —
+they are upper bounds for comparing standalone variants, not in-loop
+costs; in-jit fused costs come from tools_profile.py.
 """
 
 import sys
