@@ -387,3 +387,132 @@ def test_convert_hubert_layout_and_groupnorm_parity():
         in_d = lc.dim
     ref = h.transpose(1, 2).numpy()
     np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-4)
+
+
+def test_w2v2_full_stack_parity_vs_torch():
+    """Converted fairseq-layout weights through the FULL encoder (conv
+    chain -> post LN -> projection -> pre-LN transformer stack -> final
+    LN) must match an independent torch implementation numerically.
+    Catches orientation/bias/LN-placement bugs that shape-only roundtrips
+    (test_convert_w2v2_ctc_layout) cannot.  RoPE off: positions are the
+    sinusoidal fallback, added identically on both sides (its formula has
+    its own test, test_wav2vec2.test_sinusoidal_positions_formula)."""
+    cfg = W2V2Config(
+        conv_layers=conv_cfg([(8, 10, 5), (8, 3, 2)]),
+        encoder_embed_dim=16,
+        encoder_layers=2,
+        encoder_attention_heads=2,
+        encoder_ffn_embed_dim=32,
+        use_rope=False,
+    )
+    rng = np.random.RandomState(7)
+    sd = _tiny_w2v2_sd(rng, cfg)
+    # non-trivial biases and LN params everywhere (the shared helper zeros
+    # them, which would mask bias-mapping bugs)
+    D = cfg.encoder_embed_dim
+    F = cfg.encoder_ffn_embed_dim
+    sd["layer_norm.weight"] = rng.rand(8).astype(np.float32) + 0.5
+    sd["layer_norm.bias"] = rng.randn(8).astype(np.float32) * 0.1
+    sd["post_extract_proj.bias"] = rng.randn(D).astype(np.float32) * 0.1
+    for li in range(cfg.encoder_layers):
+        for nm in ["self_attn_layer_norm", "final_layer_norm"]:
+            sd[f"encoder.layers.{li}.{nm}.weight"] = (
+                rng.rand(D).astype(np.float32) + 0.5
+            )
+            sd[f"encoder.layers.{li}.{nm}.bias"] = (
+                rng.randn(D).astype(np.float32) * 0.1
+            )
+        for nm in ["q_proj", "k_proj", "v_proj", "out_proj"]:
+            sd[f"encoder.layers.{li}.self_attn.{nm}.bias"] = (
+                rng.randn(D).astype(np.float32) * 0.1
+            )
+        sd[f"encoder.layers.{li}.fc1.bias"] = (
+            rng.randn(F).astype(np.float32) * 0.1
+        )
+        sd[f"encoder.layers.{li}.fc2.bias"] = (
+            rng.randn(D).astype(np.float32) * 0.1
+        )
+    sd["encoder.layer_norm.weight"] = rng.rand(D).astype(np.float32) + 0.5
+    sd["encoder.layer_norm.bias"] = rng.randn(D).astype(np.float32) * 0.1
+
+    params = C.to_jax(C.convert_w2v2(sd, cfg))
+    x = rng.randn(1, 120).astype(np.float32)
+    ours = np.asarray(
+        W.forward(params, cfg, jnp.asarray(x), 10**7, 10**7)
+    )
+
+    # --- independent torch mirror ---------------------------------------
+    h = torch.tensor(x).unsqueeze(1)
+    in_d = 1
+    for i, lc in enumerate(cfg.conv_layers):
+        conv = torch.nn.Conv1d(in_d, lc.dim, lc.kernel, lc.stride, bias=False)
+        conv.weight.data = torch.tensor(
+            sd[f"feature_extractor.conv_layers.{i}.0.weight"]
+        )
+        ln = torch.nn.LayerNorm(lc.dim)
+        ln.weight.data = torch.tensor(
+            sd[f"feature_extractor.conv_layers.{i}.2.1.weight"]
+        )
+        ln.bias.data = torch.tensor(
+            sd[f"feature_extractor.conv_layers.{i}.2.1.bias"]
+        )
+        with torch.no_grad():
+            h = conv(h)
+            h = ln(h.transpose(1, 2)).transpose(1, 2)
+            h = torch.nn.functional.gelu(h)
+        in_d = lc.dim
+    h = h.transpose(1, 2)  # (1, F, 8)
+
+    def t_ln(t, w, b):
+        ln = torch.nn.LayerNorm(t.shape[-1])
+        ln.weight.data = torch.tensor(sd[w])
+        ln.bias.data = torch.tensor(sd[b])
+        return ln(t)
+
+    with torch.no_grad():
+        h = t_ln(h, "layer_norm.weight", "layer_norm.bias")
+        h = h @ torch.tensor(sd["post_extract_proj.weight"]).T + torch.tensor(
+            sd["post_extract_proj.bias"]
+        )
+        # sinusoidal absolute positions (identical formula both sides)
+        pos = np.asarray(W.sinusoidal_positions(0, h.shape[1], D))
+        h = h + torch.tensor(pos)[None]
+        H = cfg.encoder_attention_heads
+        hd = D // H
+        for li in range(cfg.encoder_layers):
+            pre = f"encoder.layers.{li}"
+            y = t_ln(
+                h, f"{pre}.self_attn_layer_norm.weight",
+                f"{pre}.self_attn_layer_norm.bias",
+            )
+
+            def proj(t, nm):
+                return t @ torch.tensor(
+                    sd[f"{pre}.self_attn.{nm}.weight"]
+                ).T + torch.tensor(sd[f"{pre}.self_attn.{nm}.bias"])
+
+            S = y.shape[1]
+            q = proj(y, "q_proj").view(1, S, H, hd).transpose(1, 2)
+            kk = proj(y, "k_proj").view(1, S, H, hd).transpose(1, 2)
+            v = proj(y, "v_proj").view(1, S, H, hd).transpose(1, 2)
+            att = torch.nn.functional.scaled_dot_product_attention(q, kk, v)
+            att = att.transpose(1, 2).reshape(1, S, D)
+            att = att @ torch.tensor(
+                sd[f"{pre}.self_attn.out_proj.weight"]
+            ).T + torch.tensor(sd[f"{pre}.self_attn.out_proj.bias"])
+            h = h + att
+            y = t_ln(
+                h, f"{pre}.final_layer_norm.weight",
+                f"{pre}.final_layer_norm.bias",
+            )
+            y = torch.nn.functional.gelu(
+                y @ torch.tensor(sd[f"{pre}.fc1.weight"]).T
+                + torch.tensor(sd[f"{pre}.fc1.bias"])
+            )
+            y = y @ torch.tensor(sd[f"{pre}.fc2.weight"]).T + torch.tensor(
+                sd[f"{pre}.fc2.bias"]
+            )
+            h = h + y
+        h = t_ln(h, "encoder.layer_norm.weight", "encoder.layer_norm.bias")
+    ref = h.numpy()
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
