@@ -516,3 +516,57 @@ def test_w2v2_full_stack_parity_vs_torch():
         h = t_ln(h, "encoder.layer_norm.weight", "encoder.layer_norm.bias")
     ref = h.numpy()
     np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_adapter_parity_vs_torch():
+    """convert_adapter-mapped weights through the length_shrink conv blocks
+    + projection vs an independent torch Conv1d/LayerNorm/GELU chain
+    (ref block structure: model/speech_encoder.py:18-78, :117-121)."""
+    from infinisst_tpu.core.config import AdapterConfig
+    from infinisst_tpu.models import adapter as AD
+
+    cfg = AdapterConfig(
+        conv_layers=conv_cfg([(12, 2, 2), (12, 2, 2)]), in_dim=12, out_dim=20
+    )
+    rng = np.random.RandomState(11)
+    sd = {}
+    in_d = cfg.in_dim
+    for i, lc in enumerate(cfg.conv_layers):
+        base = f"speech_encoder.length_shrink.conv_layers.{i}"
+        sd[f"{base}.0.weight"] = (
+            rng.randn(lc.dim, in_d, lc.kernel).astype(np.float32) * 0.3
+        )
+        sd[f"{base}.2.1.weight"] = rng.rand(lc.dim).astype(np.float32) + 0.5
+        sd[f"{base}.2.1.bias"] = rng.randn(lc.dim).astype(np.float32) * 0.1
+        in_d = lc.dim
+    sd["speech_encoder.proj.weight"] = (
+        rng.randn(cfg.out_dim, in_d).astype(np.float32) * 0.2
+    )
+    sd["speech_encoder.proj.bias"] = rng.randn(cfg.out_dim).astype(
+        np.float32
+    ) * 0.1
+
+    params = C.to_jax(C.convert_adapter(sd, cfg, "speech_encoder."))
+    x = rng.randn(2, 8, cfg.in_dim).astype(np.float32)  # (B, frames, D)
+    ours = np.asarray(AD.forward(params, cfg, jnp.asarray(x)))
+
+    h = torch.tensor(x).transpose(1, 2)  # NCW
+    in_d = cfg.in_dim
+    with torch.no_grad():
+        for i, lc in enumerate(cfg.conv_layers):
+            base = f"speech_encoder.length_shrink.conv_layers.{i}"
+            conv = torch.nn.Conv1d(in_d, lc.dim, lc.kernel, lc.stride,
+                                   bias=False)
+            conv.weight.data = torch.tensor(sd[f"{base}.0.weight"])
+            ln = torch.nn.LayerNorm(lc.dim)
+            ln.weight.data = torch.tensor(sd[f"{base}.2.1.weight"])
+            ln.bias.data = torch.tensor(sd[f"{base}.2.1.bias"])
+            h = conv(h)
+            h = ln(h.transpose(1, 2)).transpose(1, 2)
+            h = torch.nn.functional.gelu(h)
+            in_d = lc.dim
+        h = h.transpose(1, 2)
+        h = h @ torch.tensor(sd["speech_encoder.proj.weight"]).T + torch.tensor(
+            sd["speech_encoder.proj.bias"]
+        )
+    np.testing.assert_allclose(ours, h.numpy(), atol=1e-5, rtol=1e-4)
