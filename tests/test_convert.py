@@ -570,3 +570,68 @@ def test_adapter_parity_vs_torch():
             sd["speech_encoder.proj.bias"]
         )
     np.testing.assert_allclose(ours, h.numpy(), atol=1e-5, rtol=1e-4)
+
+
+def test_reference_bin_layout_roundtrip():
+    """convert_reference_bin must consume the pruned stage-2 bin layout
+    exactly: llama under HF names, the fairseq body under
+    'model.speech_encoder.speech_encoder.', the adapter under
+    'model.speech_encoder.length_shrink/proj' (ref: model/model.py:114-133,
+    train/prune_bin.py).  Composed from export_llama (whose HF naming is
+    itself roundtrip-tested) + the synthetic fairseq sd."""
+    from infinisst_tpu.core.config import AdapterConfig, ModelConfig
+
+    w_cfg = W2V2Config(
+        conv_layers=conv_cfg([(8, 10, 5), (8, 3, 2)]),
+        encoder_embed_dim=16,
+        encoder_layers=2,
+        encoder_attention_heads=2,
+        encoder_ffn_embed_dim=32,
+    )
+    a_cfg = AdapterConfig(
+        conv_layers=conv_cfg([(16, 2, 2), (16, 2, 2)]), in_dim=16, out_dim=24
+    )
+    l_cfg = LlamaConfig(
+        vocab_size=64, hidden_size=24, intermediate_size=40, num_layers=2,
+        num_heads=2, num_kv_heads=1, head_dim=12, rope_scaling=False,
+    )
+    rng = np.random.RandomState(13)
+
+    w_sd = _tiny_w2v2_sd(rng, w_cfg)
+    bin_sd = {
+        f"model.speech_encoder.speech_encoder.{k}": v for k, v in w_sd.items()
+    }
+    in_d = a_cfg.in_dim
+    for i, lc in enumerate(a_cfg.conv_layers):
+        base = f"model.speech_encoder.length_shrink.conv_layers.{i}"
+        bin_sd[f"{base}.0.weight"] = (
+            rng.randn(lc.dim, in_d, lc.kernel).astype(np.float32) * 0.3
+        )
+        bin_sd[f"{base}.2.1.weight"] = rng.rand(lc.dim).astype(np.float32)
+        bin_sd[f"{base}.2.1.bias"] = np.zeros(lc.dim, np.float32)
+        in_d = lc.dim
+    bin_sd["model.speech_encoder.proj.weight"] = (
+        rng.randn(a_cfg.out_dim, in_d).astype(np.float32) * 0.2
+    )
+    bin_sd["model.speech_encoder.proj.bias"] = np.zeros(
+        a_cfg.out_dim, np.float32
+    )
+    l_params = L.init_params(jax.random.PRNGKey(5), l_cfg)
+    bin_sd.update(export_llama_np(l_params, l_cfg))
+
+    cfg = ModelConfig(w2v2=w_cfg, adapter=a_cfg, llama=l_cfg)
+    full = C.to_jax(C.convert_reference_bin(bin_sd, cfg))
+
+    # each component must equal its individually-converted counterpart
+    solo_w = C.to_jax(C.convert_w2v2(w_sd, w_cfg))
+    for a, b in zip(jax.tree.leaves(full["w2v2"]), jax.tree.leaves(solo_w)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree.leaves(full["llama"]), jax.tree.leaves(l_params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert full["adapter"]["proj"]["w"].shape == (in_d, a_cfg.out_dim)
+
+
+def export_llama_np(params, cfg):
+    return C.export_llama(params, cfg)
