@@ -15,24 +15,11 @@ from time import perf_counter
 import numpy as np
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--chunks", type=int, default=5)
-    ap.add_argument("--multiplier", type=int, default=1)
-    ap.add_argument("--max-llm-cache-size", type=int, default=120)
-    ap.add_argument("--seed", type=int, default=0)
-    args = ap.parse_args()
-
+def tiny_model(seed: int = 0):
+    """Tiny random model + config for checkpoint-free demos."""
     import jax
-    import jax.numpy as jnp
 
-    from infinisst_tpu.agents.infinisst import InfiniSSTAgent, InfiniSSTOptions
-    from infinisst_tpu.core.config import (
-        SpecialTokens,
-        StreamConfig,
-        tiny_model_config,
-    )
-    from infinisst_tpu.data.template import PromptBuilder, StubTokenizer
+    from infinisst_tpu.core.config import SpecialTokens, tiny_model_config
     from infinisst_tpu.models import adapter as A
     from infinisst_tpu.models import llama as L
     from infinisst_tpu.models import wav2vec2 as W
@@ -45,12 +32,32 @@ def main():
             sp_start=509, sp_end=510, latency=(511, 511, 511, 511),
         )
     )
-    k = jax.random.PRNGKey(args.seed)
+    k = jax.random.PRNGKey(seed)
     params = {
         "w2v2": W.init_params(jax.random.fold_in(k, 0), cfg.w2v2),
         "adapter": A.init_params(jax.random.fold_in(k, 1), cfg.adapter),
         "llama": L.init_params(jax.random.fold_in(k, 2), cfg.llama),
     }
+    return params, cfg
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunks", type=int, default=5)
+    ap.add_argument("--multiplier", type=int, default=1)
+    ap.add_argument("--max-llm-cache-size", type=int, default=120)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from infinisst_tpu.agents.infinisst import InfiniSSTAgent, InfiniSSTOptions
+    from infinisst_tpu.core.config import StreamConfig
+    from infinisst_tpu.data.template import PromptBuilder, StubTokenizer
+
+    vocab = 512
+    params, cfg = tiny_model(args.seed)
     stream = StreamConfig(
         max_cache_frames=96,
         max_llm_cache_tokens=args.max_llm_cache_size,
