@@ -71,7 +71,8 @@ def main():
     if model == "8b":
         # full Llama-3.1-8B architecture, int8 projections + int8-W8A8
         # lm_head, on ONE 16 GB chip (the reference needs a 48 GB L40S for
-        # bf16 8B).  --bf16-head / --act-int8 toggle the variants.
+        # bf16 8B).  W8A8 activations and the int8 head are the DEFAULT;
+        # opt out with --no-act-int8 / --bf16-head.
         from infinisst_tpu.core.presets import flagship_config
         from infinisst_tpu.models.quant import init_quantized_llama
 

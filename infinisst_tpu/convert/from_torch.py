@@ -31,18 +31,30 @@ Arrays = Dict[str, np.ndarray]
 # Torch file loading without the original libraries
 
 
-# Module prefixes whose classes may be instantiated by the non-weights-only
-# fallback loader.  Everything else is stubbed, so no arbitrary __reduce__
-# can execute even for importable classes (checkpoints are downloaded
-# public files — treat as untrusted input).
-_PICKLE_ALLOWLIST = (
-    "torch",
-    "collections",
-    "numpy",
-    "argparse",  # fairseq checkpoints store args as argparse.Namespace
-    "omegaconf",
-    "fairseq",
-)
+# Exact (module, name) pairs the non-weights-only fallback loader may
+# resolve: only the tensor-reconstruction machinery and plain containers.
+# Everything else — INCLUDING other torch/numpy attributes (torch.hub.load
+# is a classic pickle RCE gadget) and all fairseq/omegaconf config classes
+# — is replaced with an inert stub; config contents are discarded anyway
+# (checkpoints are downloaded public files — treat as untrusted input).
+_PICKLE_ALLOWLIST = {
+    "torch._utils": {
+        "_rebuild_tensor_v2",
+        "_rebuild_tensor",
+        "_rebuild_parameter",
+        "_rebuild_sparse_tensor",
+    },
+    "torch": {
+        "FloatStorage", "DoubleStorage", "HalfStorage", "BFloat16Storage",
+        "IntStorage", "LongStorage", "ShortStorage", "CharStorage",
+        "ByteStorage", "BoolStorage", "Size", "device", "dtype",
+    },
+    "torch.serialization": {"_get_layout"},
+    "collections": {"OrderedDict"},
+    "numpy.core.multiarray": {"_reconstruct", "scalar"},
+    "numpy._core.multiarray": {"_reconstruct", "scalar"},
+    "numpy": {"ndarray", "dtype"},
+}
 
 
 def load_torch_state(path: str, allow_pickle: bool = False) -> Arrays:
@@ -65,8 +77,7 @@ def load_torch_state(path: str, allow_pickle: bool = False) -> Arrays:
 
     class TolerantUnpickler(pickle.Unpickler):
         def find_class(self, module, name):
-            root = module.split(".")[0]
-            if root in _PICKLE_ALLOWLIST:
+            if name in _PICKLE_ALLOWLIST.get(module, ()):
                 try:
                     return super().find_class(module, name)
                 except (ImportError, AttributeError):

@@ -177,7 +177,17 @@ class PromptBuilder:
 
         t = self.t
         ids = list(self.tokenizer.encode(text))
-        if any(i in t.latency for i in ids):
+        # "tokenizer knows the latency token" must be decided per literal
+        # token, not by scanning ids for latency values — an ordinary text
+        # token could collide with a configured latency id on non-Llama id
+        # layouts and silently skip the splice below
+        m_all = re.findall(r"<latency_(\d+)>", text)
+        knows_latency = m_all and all(
+            list(self.tokenizer.encode(f"<latency_{g}>"))
+            == [t.latency[int(g) - 1]]
+            for g in m_all
+        )
+        if knows_latency or not m_all:
             return ids
         out: List[int] = []
         for part in re.split(r"(<latency_\d+>)", text):

@@ -62,6 +62,24 @@ def run_streaming_eval(agent, args: EvalArgs) -> dict:
         targets = targets[: args.max_instances]
         if timings is not None:
             timings = timings[: args.max_instances]
+    # fail FAST on a mismatched .timing file (an IndexError during scoring
+    # would throw away hours of streaming compute): every talk needs a
+    # timing line, and each line as many start:dur entries as the talk has
+    # tab-separated reference segments
+    if timings is not None:
+        if len(timings) < len(sources):
+            raise SystemExit(
+                f"--timing has {len(timings)} lines for {len(sources)} "
+                "source talks; regenerate it from the same TSV "
+                "(prepare_simuleval_inputs.py)"
+            )
+        for i, t in enumerate(targets[: len(sources)]):
+            n_seg = t.count("\t") + 1
+            if timings[i] and len(timings[i]) != n_seg:
+                raise SystemExit(
+                    f"--timing line {i} has {len(timings[i])} segments but "
+                    f"the reference has {n_seg}; regenerate the timing file"
+                )
 
     os.makedirs(args.output, exist_ok=True)
     seg_samples = int(args.source_segment_size * 16)

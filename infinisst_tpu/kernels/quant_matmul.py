@@ -125,6 +125,13 @@ def quantized_matmul_w8a8(
     """W8A8 matmul: per-row activation quant + per-out-channel weight quant,
     int8 MXU accumulation in int32, rescale to ``out_dtype``.
 
+    STATUS: kept as a measured-and-rejected alternative, not on the
+    production path — models/quant.mm routes W8A8 through a plain XLA
+    ``dot_general`` instead, because at decode shapes the fixed per-call
+    Pallas cost across 7 projections x 32 layers dominated (see the
+    optimization log in ARCHITECTURE.md).  Retained with its tests for
+    shapes where a fused kernel may win again (very wide single matmuls).
+
     Removes the in-kernel int8->bf16 weight convert of
     :func:`quantized_matmul`, which is VPU-bound at very wide outputs
     (the 128k lm_head) — there the convert cost exceeded the bandwidth

@@ -77,6 +77,7 @@ class ServingEngine:
         max_new_tokens: Optional[int] = None,
         dtype=jnp.bfloat16,
         beam: int = 1,
+        suppress_tokens=None,  # ids to ban (agents' --suppress-non-language)
     ):
         self.params = params
         self.cfg = cfg
@@ -91,6 +92,11 @@ class ServingEngine:
         self.chunk_samples = stream_cfg.chunk_samples(multiplier)
         self.chunk_frames = stream_cfg.chunk_frames(multiplier)
         self.window_samples = CONV_LEFT_CONTEXT + 2 * self.chunk_samples
+        V = cfg.llama.vocab_size
+        sup = np.zeros((V,), bool)
+        if suppress_tokens is not None:
+            sup[np.asarray(suppress_tokens, np.int64)] = True
+        self._suppress = jnp.asarray(sup) if sup.any() else None
 
         w, ll = cfg.w2v2, cfg.llama
         # device-resident rolling windows (uploading full f32 windows per
@@ -218,12 +224,13 @@ class ServingEngine:
                     eos_id=eos,
                     pad_id=cfg.tokens.pad,
                     no_repeat_ngram_size=stream.no_repeat_ngram_size,
-                    repetition_penalty=1.2,
+                    repetition_penalty=stream.repetition_penalty,
                 )
                 res = beam_mod.batched_beam_search(
                     params["llama"], cfg.llama, dec2, last, ids,
                     prompt_lens.astype(jnp.int32), hist, hist_len, spec,
                     encoder_ngram_size=stream.no_repeat_ngram_size,
+                    suppress_mask=self._suppress,
                     max_steps=jnp.where(row_active, max_new, 1).astype(
                         jnp.int32
                     ),
@@ -273,7 +280,8 @@ class ServingEngine:
                 )
                 scores = lp.repetition_penalty(
                     scores, seqbuf,
-                    jnp.arange(Tbuf)[None] < seqlen[:, None], 1.2,
+                    jnp.arange(Tbuf)[None] < seqlen[:, None],
+                    stream.repetition_penalty,
                 )
                 scores = lp.no_repeat_ngram(
                     scores, seqbuf, seqlen, stream.no_repeat_ngram_size
@@ -282,6 +290,8 @@ class ServingEngine:
                     scores, hist, hist_len, seqbuf, seqlen,
                     stream.no_repeat_ngram_size,
                 )
+                if self._suppress is not None:
+                    scores = lp.suppress_tokens(scores, self._suppress)
                 nxt = jnp.argmax(scores, -1).astype(jnp.int32)
                 is_eos = nxt == eos
                 emit = (~donef) & (~is_eos) & row_active

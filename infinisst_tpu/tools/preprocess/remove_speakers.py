@@ -8,8 +8,11 @@ decision rules (:77, :150-155):
   full names ("Firstname Lastname:"), and 1-3 letter initials ("CA:");
 - the target tag is the prefix before ':' or the zh full-width colon '：'
   (empty when neither occurs);
-- number-word/LG source tags (One..Ten, LG) are false positives and the
-  sample is kept untouched for that round;
+- a source tag matching the number-word/LG SUBSTRING search (One..Ten,
+  LG — unanchored, so e.g. "Tenzin:" matches "Ten") is skipped by the
+  correction pass and therefore DROPPED with the other uncorrected
+  tagged rows (the reference's exact, quirky behaviour — its `continue`
+  at :150 excludes the row from the next round's sample set);
 - a sample is CORRECTED (tag stripped from both sides) only when both
   tags are non-empty, the source tag is <= 3 words, and the target tag is
   short (<= 3 units; characters for zh, words otherwise) OR similar to

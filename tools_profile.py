@@ -59,7 +59,9 @@ def main():
         from infinisst_tpu.models.quant import init_quantized_llama
 
         cfg = flagship_config()
-        act_int8 = "--act-int8" in sys.argv
+        # default True to match bench.py's benchmarked configuration
+        # (bench opts out with --no-act-int8; same convention here)
+        act_int8 = "--no-act-int8" not in sys.argv
         params = {
             "w2v2": W.init_params(jax.random.fold_in(k, 0), cfg.w2v2, dtype),
             "adapter": A.init_params(jax.random.fold_in(k, 1), cfg.adapter, dtype),
