@@ -455,4 +455,24 @@ def bench_train(multiplier: int, n_steps: int = 12):
 
 
 if __name__ == "__main__":
-    main()
+    # The dev TPU service occasionally reports a transient
+    # RESOURCE_EXHAUSTED right after a previous client exits (server-side
+    # allocations not yet reclaimed).  Retry once in a fresh process
+    # before giving up so a single flake doesn't record a failed bench.
+    import os
+
+    if os.environ.get("_BENCH_RETRIED") != "1":
+        try:
+            main()
+        except Exception as e:  # noqa: BLE001
+            if "RESOURCE_EXHAUSTED" in str(e) or "ResourceExhausted" in str(e):
+                print(
+                    "transient RESOURCE_EXHAUSTED; retrying once in 60s",
+                    file=sys.stderr, flush=True,
+                )
+                time.sleep(60)
+                os.environ["_BENCH_RETRIED"] = "1"
+                os.execv(sys.executable, [sys.executable] + sys.argv)
+            raise
+    else:
+        main()
