@@ -245,3 +245,68 @@ def test_kv_copy_commit_matches_replay():
             np.asarray(dec_copy.v[:, b, :v]),
             rtol=1e-5, atol=1e-5,
         )
+
+
+@pytest.mark.slow
+def test_batched_beam_matches_sequential():
+    """The vmapped pooled beam (decode/beam.batched_beam_search) must
+    produce EXACTLY the per-slot results of running beam_search slot by
+    slot on the same prefixes/logits/prompts/history — the semantic
+    contract of the shared-weight-stream serving path (skip_last_fwd
+    differs between the two paths but only skips an unused forward)."""
+    import jax
+
+    from infinisst_tpu.decode import beam as beam_mod
+    from infinisst_tpu.models import llama as L
+    from infinisst_tpu.streaming.state import DecoderState
+
+    cfg = CFG.replace(tokens=small_special_tokens()).llama
+    params = tiny_params()["llama"]
+    B, C, G = 2, 64, 6
+    KV, Dh, Ly = cfg.num_kv_heads, cfg.head_dim, cfg.num_layers
+    rng = np.random.RandomState(5)
+
+    # two DIFFERENT per-slot prefix caches + logits
+    k = jnp.asarray(rng.randn(Ly, B, C, KV, Dh).astype(np.float32) * 0.1)
+    v = jnp.asarray(rng.randn(Ly, B, C, KV, Dh).astype(np.float32) * 0.1)
+    vlen = jnp.asarray([17, 23], jnp.int32)
+    last = jnp.asarray(
+        rng.randn(B, cfg.vocab_size).astype(np.float32) * 2.0
+    )
+    Tp = 12
+    prompts = jnp.asarray(rng.randint(10, 400, (B, Tp)), jnp.int32)
+    plens = jnp.asarray([9, 12], jnp.int32)
+    hists = jnp.asarray(rng.randint(10, 400, (B, 16)), jnp.int32)
+    hlens = jnp.asarray([4, 0], jnp.int32)
+    spec = beam_mod.BeamSpec(
+        beam=2, max_new_tokens=G, eos_id=cfg.vocab_size - 11,
+        pad_id=cfg.vocab_size - 8, no_repeat_ngram_size=3,
+        repetition_penalty=1.2,
+    )
+    dec = DecoderState(k=k, v=v, valid_len=vlen)
+    batched = beam_mod.batched_beam_search(
+        params, cfg, dec, last, prompts, plens, hists, hlens, spec,
+        encoder_ngram_size=3, return_kv=True,
+    )
+    for b in range(B):
+        prefix = DecoderState(
+            k=k[:, b][:, None], v=v[:, b][:, None], valid_len=vlen[b][None]
+        )
+        solo = beam_mod.beam_search(
+            params, cfg, prefix, last[b], prompts[b], plens[b], hists[b],
+            hlens[b], spec, encoder_ngram_size=3, return_kv=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(batched.tokens[b]), np.asarray(solo.tokens)
+        )
+        assert int(batched.n_tokens[b]) == int(solo.n_tokens)
+        np.testing.assert_allclose(
+            float(batched.score[b]), float(solo.score), rtol=1e-5
+        )
+        n_emit = int(solo.n_tokens) - (0 if bool(solo.hit_eos) else 1)
+        if n_emit > 0:
+            np.testing.assert_allclose(
+                np.asarray(batched.kv_k[b][:, :n_emit]),
+                np.asarray(solo.kv_k[:, :n_emit]),
+                atol=1e-5,
+            )
