@@ -42,6 +42,18 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--repetition-penalty", type=float, default=1.2)
     p.add_argument("--suppress-non-language", action="store_true")
     p.add_argument("--max-new-tokens", type=int, default=None)
+    # sampling decode (ref: agents/options.py --do-sample/--temperature/
+    # --top-k/--top-p/--epsilon-cutoff — the DPO data-collection path)
+    p.add_argument("--do-sample", action="store_true")
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--top-k", type=int, default=0)
+    p.add_argument("--top-p", type=float, default=1.0)
+    p.add_argument("--epsilon-cutoff", type=float, default=0.0)
+    p.add_argument("--sample-seed", type=int, default=0)
+    p.add_argument("--translation-output-file", type=str,
+                   default="translations.json",
+                   help="per-chunk sampled translations dump (the DPO "
+                   "collection output, ref: agents/infinisst.py:369-381)")
     # simuleval args (ref: add_simuleval_args)
     p.add_argument("--source-lang", type=str, default="English")
     p.add_argument("--target-lang", type=str, default="German")
@@ -175,6 +187,14 @@ def build_agent(args):
         latency_multiplier=args.latency_multiplier,
         max_latency_multiplier=args.max_latency_multiplier,
         beam=args.beam,
+        do_sample=args.do_sample,
+        temperature=args.temperature,
+        top_k=args.top_k,
+        top_p=args.top_p,
+        epsilon_cutoff=args.epsilon_cutoff,
+        sample_seed=args.sample_seed,
+        dpo_sampling=args.do_sample,
+        output_file=args.translation_output_file,
         no_repeat_ngram_size=args.no_repeat_ngram_size,
         no_repeat_ngram_lookback=args.no_repeat_ngram_lookback,
         repetition_penalty=args.repetition_penalty,

@@ -74,6 +74,16 @@ class InfiniSSTOptions:
     dpo_sampling: bool = False  # dump per-chunk translations for DPO
     output_file: str = "translations.json"
     quantize: bool = False  # int8 weight-only decode (Pallas dequant matmul)
+    # sampling decode (the reference's --do-sample path used to collect
+    # DPO data, ref: agents/options.py temperature/top_k/top_p/
+    # epsilon_cutoff, agents/infinisst.py:196): replaces beam search with
+    # ancestral sampling through the same processor stack
+    do_sample: bool = False
+    temperature: float = 1.0
+    top_k: int = 0
+    top_p: float = 1.0
+    epsilon_cutoff: float = 0.0
+    sample_seed: int = 0
 
 
 class InfiniSSTAgent(SpeechToTextAgent):
@@ -181,6 +191,7 @@ class InfiniSSTAgent(SpeechToTextAgent):
         )
         self.pend_n = jnp.zeros((), jnp.int32)
         self.cache_checkpoints = []  # token counts at chunk ends (host mirror)
+        self._chunk_counter = 0  # per-chunk sampling rng stream
         self.llm_cache_len = 0  # host mirror (logical: physical + pending)
         self.pend_n_host = 0
         self.system_prompt_size = 0
@@ -222,11 +233,25 @@ class InfiniSSTAgent(SpeechToTextAgent):
         G = self.max_new
         Lh = self.opts.no_repeat_ngram_lookback
         is_tail = n_units != m
+        do_sample = self.opts.do_sample
+        if do_sample:
+            sspec = beam_mod.SampleSpec(
+                max_new_tokens=self.max_new,
+                eos_id=self.cfg.tokens.eos,
+                pad_id=self.cfg.tokens.pad,
+                temperature=self.opts.temperature,
+                top_p=self.opts.top_p,
+                top_k=self.opts.top_k,
+                epsilon_cutoff=self.opts.epsilon_cutoff,
+                no_repeat_ngram_size=self.opts.no_repeat_ngram_size,
+                repetition_penalty=self.opts.repetition_penalty,
+            )
 
         P = self.pend_cap
 
         def generate_chunk(params, enc_state, dec_state, window, hist,
-                           hist_len, pend_tokens, pend_n, chunk_i16):
+                           hist_len, pend_tokens, pend_n, chunk_i16,
+                           rng=None):
             # roll the device window; tail chunks use the last
             # (left_context + prev_chunk) of the window + the short tail
             new = chunk_i16.astype(jnp.float32)[None, :] / 32768.0
@@ -268,19 +293,35 @@ class InfiniSSTAgent(SpeechToTextAgent):
             last_logits = jax.lax.dynamic_index_in_dim(
                 logits[0], pend_n + S - 1, axis=0, keepdims=False
             )
-            res = beam_mod.beam_search(
-                params["llama"],
-                cfg.llama,
-                dec2,
-                last_logits,
-                prompt_ids[0],
-                jnp.asarray(prompt_ids.shape[1], jnp.int32),
-                hist,
-                hist_len,
-                spec,
-                encoder_ngram_size=enc_ng,
-                suppress_mask=suppress,
-            )
+            if do_sample:
+                res = beam_mod.sample_decode(
+                    params["llama"],
+                    cfg.llama,
+                    dec2,
+                    last_logits,
+                    prompt_ids[0],
+                    jnp.asarray(prompt_ids.shape[1], jnp.int32),
+                    hist,
+                    hist_len,
+                    sspec,
+                    rng,
+                    encoder_ngram_size=enc_ng,
+                    suppress_mask=suppress,
+                )
+            else:
+                res = beam_mod.beam_search(
+                    params["llama"],
+                    cfg.llama,
+                    dec2,
+                    last_logits,
+                    prompt_ids[0],
+                    jnp.asarray(prompt_ids.shape[1], jnp.int32),
+                    hist,
+                    hist_len,
+                    spec,
+                    encoder_ngram_size=enc_ng,
+                    suppress_mask=suppress,
+                )
             # emitted tokens: drop the final one when the cap was hit
             # without EOS (ref quirk: sequences[..., :-1], infinisst.py:363)
             n_emit = jnp.where(
@@ -419,6 +460,13 @@ class InfiniSSTAgent(SpeechToTextAgent):
             _t1 = perf_counter()
         else:
             dev_chunk = jnp.asarray(chunk_i16)
+        extra = {}
+        if opts.do_sample:
+            # fresh randomness per chunk, reproducible per (seed, chunk #)
+            extra["rng"] = jax.random.fold_in(
+                jax.random.PRNGKey(opts.sample_seed), self._chunk_counter
+            )
+        self._chunk_counter += 1
         (
             packed,
             self.enc_state,
@@ -438,6 +486,7 @@ class InfiniSSTAgent(SpeechToTextAgent):
             self.pend_tokens,
             self.pend_n,
             dev_chunk,
+            **extra,
         )
         if _dbg:
             _t2 = perf_counter()

@@ -42,7 +42,7 @@ def small_special_tokens():
     )
 
 
-def make_agent(multiplier=1, max_llm_cache_size=120, capacity=256):
+def make_agent(multiplier=1, max_llm_cache_size=120, capacity=256, **opt_kw):
     cfg = CFG.replace(tokens=small_special_tokens())
     stream = StreamConfig(
         max_cache_frames=96,
@@ -56,6 +56,7 @@ def make_agent(multiplier=1, max_llm_cache_size=120, capacity=256):
         beam=2,
         max_llm_cache_size=max_llm_cache_size,
         no_repeat_ngram_lookback=32,
+        **opt_kw,
     )
     return InfiniSSTAgent(
         tiny_params(), cfg, stream, builder, opts, param_dtype=jnp.float32
@@ -147,3 +148,37 @@ def test_agent_unbounded_stream_bounded_cache():
         int(agent.dec_state.valid_len[0]) + agent.pend_n_host
     )
     assert writes >= 30  # stream kept producing output throughout
+
+
+@pytest.mark.slow
+def test_agent_sampling_decode():
+    """do_sample streams through sample_decode (the reference's --do-sample
+    DPO path): top_k=1 sampling is deterministic (equals argmax after the
+    processor stack) regardless of seed; full-temperature sampling with
+    different seeds is reproducible per seed."""
+    rng_audio = np.random.RandomState(0)
+    chunk = 15360
+    audio = [rng_audio.randn(chunk).astype(np.float32) * 0.1
+             for _ in range(3)]
+
+    def run(seed, top_k):
+        agent = make_agent(
+            do_sample=True, top_k=top_k, sample_seed=seed,
+        )
+        for i, a in enumerate(audio):
+            agent.push(a, finished=(i == 2))
+        return list(agent.states.target_ids)
+
+    g1 = run(0, 1)
+    g2 = run(123, 1)
+    assert g1 and g1 == g2  # top_k=1 ignores the seed
+
+    s1 = run(0, 0)
+    s1b = run(0, 0)
+    assert s1 == s1b  # reproducible per seed
+    # per-chunk DPO dump list is populated when dpo_sampling is on
+    agent = make_agent(do_sample=True, dpo_sampling=True,
+                       output_file="/tmp/_dpo_test.json")
+    for i, a in enumerate(audio[:2]):
+        agent.push(a, finished=False)
+    assert len(agent.states.translations_list) >= 1
