@@ -17,6 +17,20 @@ import argparse
 import json
 
 
+def build_suppress_list(tokenizer):
+    """Token ids containing parentheses (speaker/emotion annotations) —
+    the --suppress-non-language ban list (ref: agents/infinisst.py:
+    142-148)."""
+    import numpy as np
+
+    bad = []
+    for idx in range(tokenizer.vocab_size):
+        d = tokenizer.decode([idx])
+        if "(" in d or "（" in d:
+            bad.append(idx)
+    return np.asarray(bad, np.int64)
+
+
 def add_args(p: argparse.ArgumentParser):
     # speech encoder args (ref: agents/options.py add_speech_encoder_args)
     p.add_argument("--w2v2-path", type=str, default=None)
@@ -155,15 +169,7 @@ def build_agent(args):
 
     suppress = None
     if args.suppress_non_language and tok_path:
-        # ref: agents/infinisst.py:142-148
-        bad = []
-        for idx in range(tokenizer.vocab_size):
-            d = tokenizer.decode([idx])
-            if "(" in d or "（" in d:
-                bad.append(idx)
-        import numpy as np
-
-        suppress = np.asarray(bad, np.int64)
+        suppress = build_suppress_list(tokenizer)
 
     stream = StreamConfig(
         max_cache_frames=args.max_cache_size,

@@ -122,6 +122,13 @@ def main():  # pragma: no cover - network entrypoint
     p.add_argument("--port", type=int, default=8765)
     p.add_argument("--pool-size", type=int, default=8)
     p.add_argument("--multiplier", type=int, default=1)
+    p.add_argument("--beam", type=int, default=4,
+                   help="beam width per slot (the reference's quality "
+                   "configuration is beam 4; 1 = batched greedy)")
+    p.add_argument("--int8", action="store_true",
+                   help="W8A8 int8 decode weights (fits the 8B flagship "
+                   "on one 16 GB chip)")
+    p.add_argument("--suppress-non-language", action="store_true")
     p.add_argument("--model-preset", default="bench")
     p.add_argument("--state-dict-path", default=None)
     p.add_argument("--tokenizer-path", default=None)
@@ -176,9 +183,22 @@ def main():  # pragma: no cover - network entrypoint
 
     params = build_params(_A, cfg)
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    if args.int8:
+        from infinisst_tpu.models.quant import quantize_llama_params
+
+        params = dict(params)
+        params["llama"] = quantize_llama_params(
+            params["llama"], quantize_lm_head=True, act_int8=True
+        )
+    suppress = None
+    if args.suppress_non_language and args.tokenizer_path:
+        from infinisst_tpu.agents.cli import build_suppress_list
+
+        suppress = build_suppress_list(tokenizer)
     engine = ServingEngine(
         params, cfg, StreamConfig(), builders,
         pool_size=args.pool_size, multiplier=args.multiplier,
+        beam=args.beam, suppress_tokens=suppress,
     )
     asyncio.run(StreamingServer(engine).run(args.host, args.port))
 
