@@ -20,7 +20,9 @@ import json
 def build_suppress_list(tokenizer):
     """Token ids containing parentheses (speaker/emotion annotations) —
     the --suppress-non-language ban list (ref: agents/infinisst.py:
-    142-148)."""
+    142-148).  The per-id decode scan over the full vocab is the
+    reference's own load-time behaviour (same cost, ~1 min with a slow
+    tokenizer); it runs once at startup."""
     import numpy as np
 
     bad = []
@@ -211,6 +213,12 @@ def build_agent(args):
         target_lang=args.target_lang,
         suppress_tokens=suppress,
     )
+    if args.do_sample and args.agent != "infinisst":
+        raise SystemExit(
+            "--do-sample is only implemented for --agent infinisst (the "
+            "reference's DPO collection path); the alignatt/streamatt "
+            "policies are beam-only"
+        )
     if args.agent == "infinisst":
         return InfiniSSTAgent(
             params, cfg, stream, builder, InfiniSSTOptions(**common),

@@ -192,6 +192,7 @@ class InfiniSSTAgent(SpeechToTextAgent):
         self.pend_n = jnp.zeros((), jnp.int32)
         self.cache_checkpoints = []  # token counts at chunk ends (host mirror)
         self._chunk_counter = 0  # per-chunk sampling rng stream
+        self._sample_base_key = None  # built lazily on first sampled chunk
         self.llm_cache_len = 0  # host mirror (logical: physical + pending)
         self.pend_n_host = 0
         self.system_prompt_size = 0
@@ -462,9 +463,13 @@ class InfiniSSTAgent(SpeechToTextAgent):
             dev_chunk = jnp.asarray(chunk_i16)
         extra = {}
         if opts.do_sample:
-            # fresh randomness per chunk, reproducible per (seed, chunk #)
+            # fresh randomness per chunk, reproducible per (seed, chunk #);
+            # the base key is built once (each extra device execution costs
+            # a fixed dispatch latency on remote backends)
+            if self._sample_base_key is None:
+                self._sample_base_key = jax.random.PRNGKey(opts.sample_seed)
             extra["rng"] = jax.random.fold_in(
-                jax.random.PRNGKey(opts.sample_seed), self._chunk_counter
+                self._sample_base_key, self._chunk_counter
             )
         self._chunk_counter += 1
         (

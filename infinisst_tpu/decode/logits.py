@@ -135,6 +135,7 @@ def temperature_scale(logits: jnp.ndarray, temperature: float) -> jnp.ndarray:
 def top_k_filter(logits: jnp.ndarray, k: int) -> jnp.ndarray:
     if k <= 0:
         return logits
+    k = min(k, logits.shape[-1])  # HF clamps k to the vocab size
     kth = jnp.sort(logits, axis=-1)[..., -k][..., None]
     return jnp.where(logits < kth, NEG_INF, logits)
 
@@ -157,4 +158,10 @@ def epsilon_filter(logits: jnp.ndarray, eps: float) -> jnp.ndarray:
     if eps <= 0.0:
         return logits
     probs = jax.nn.softmax(logits, axis=-1)
-    return jnp.where(probs < eps, NEG_INF, logits)
+    # HF's EpsilonLogitsWarper keeps min_tokens_to_keep=1: the top-1 token
+    # always survives, so a high cutoff on a flat distribution cannot mask
+    # the whole vocabulary
+    is_top1 = (
+        jnp.arange(logits.shape[-1]) == jnp.argmax(logits, -1, keepdims=True)
+    )
+    return jnp.where((probs < eps) & ~is_top1, NEG_INF, logits)

@@ -184,6 +184,17 @@ def main():  # pragma: no cover - network entrypoint
     params = build_params(_A, cfg)
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
     if args.int8:
+        ll = cfg.llama
+        dims = (
+            ll.num_heads * ll.head_dim, ll.num_kv_heads * ll.head_dim,
+            ll.hidden_size, ll.intermediate_size,
+        )
+        if any(d % 128 for d in dims):
+            raise SystemExit(
+                f"--int8 requires all projection dims to be multiples of "
+                f"128 (got {dims} for preset {args.model_preset!r}); use "
+                "the flagship/bench presets or drop --int8"
+            )
         from infinisst_tpu.models.quant import quantize_llama_params
 
         params = dict(params)
@@ -191,10 +202,17 @@ def main():  # pragma: no cover - network entrypoint
             params["llama"], quantize_lm_head=True, act_int8=True
         )
     suppress = None
-    if args.suppress_non_language and args.tokenizer_path:
-        from infinisst_tpu.agents.cli import build_suppress_list
+    if args.suppress_non_language:
+        if not args.tokenizer_path:
+            print(
+                "WARNING: --suppress-non-language needs --tokenizer-path "
+                "to scan the vocab; ban list DISABLED",
+                file=__import__("sys").stderr, flush=True,
+            )
+        else:
+            from infinisst_tpu.agents.cli import build_suppress_list
 
-        suppress = build_suppress_list(tokenizer)
+            suppress = build_suppress_list(tokenizer)
     engine = ServingEngine(
         params, cfg, StreamConfig(), builders,
         pool_size=args.pool_size, multiplier=args.multiplier,
