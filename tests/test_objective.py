@@ -70,3 +70,22 @@ def test_repetition_penalty_signs():
     valid = jnp.ones((1, 2), bool)
     out = lp.repetition_penalty(scores, toks, valid, 2.0)
     np.testing.assert_allclose(np.asarray(out[0]), [-2.0, -2.0, 0.25])
+
+
+def test_epsilon_filter_keeps_top1():
+    """HF EpsilonLogitsWarper semantics: even a cutoff above the max
+    probability leaves the top-1 token unmasked."""
+    from infinisst_tpu.decode.logits import NEG_INF, epsilon_filter
+
+    logits = jnp.asarray([[0.1, 0.2, 0.15, 0.05]])  # nearly flat
+    out = np.asarray(epsilon_filter(logits, eps=0.9))
+    assert out[0, 1] > NEG_INF / 2  # argmax survives
+    assert (out[0, [0, 2, 3]] < NEG_INF / 2).all()
+
+
+def test_top_k_filter_clamps_to_vocab():
+    from infinisst_tpu.decode.logits import top_k_filter
+
+    logits = jnp.asarray([[0.3, 0.1, 0.2]])
+    out = np.asarray(top_k_filter(logits, k=10_000))
+    np.testing.assert_array_equal(out, np.asarray(logits))  # no-op
