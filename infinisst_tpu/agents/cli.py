@@ -25,9 +25,16 @@ def build_suppress_list(tokenizer):
     tokenizer); it runs once at startup."""
     import numpy as np
 
+    # The reference scans range(len(tokenizer)) — the full vocab INCLUDING
+    # added tokens (on Llama-3 HF tokenizers vocab_size excludes the 256
+    # added specials) — and decodes with skip_special_tokens=True.
+    try:
+        n = len(tokenizer)
+    except TypeError:
+        n = tokenizer.vocab_size
     bad = []
-    for idx in range(tokenizer.vocab_size):
-        d = tokenizer.decode([idx])
+    for idx in range(n):
+        d = tokenizer.decode([idx], skip_special_tokens=True)
         if "(" in d or "（" in d:
             bad.append(idx)
     return np.asarray(bad, np.int64)

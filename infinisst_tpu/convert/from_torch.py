@@ -94,11 +94,23 @@ def load_torch_state(path: str, allow_pickle: bool = False) -> Arrays:
                 "allow_pickle=True to use the restricted fallback "
                 "unpickler."
             )
+        # The shim's ``load`` must ALSO be restricted: torch's _legacy_load
+        # (non-zip format) calls pickle_module.load(f) on three
+        # attacker-controlled header pickles (magic number, protocol,
+        # sys info) BEFORE it constructs pickle_module.Unpickler — a plain
+        # pickle.load there would bypass the allowlist entirely.
+        def _restricted_load(f, **kw):
+            return TolerantUnpickler(f, **kw).load()
+
         with open(path, "rb") as f:
             obj = torch.load(
                 f, map_location="cpu", weights_only=False,
                 pickle_module=type(
-                    "M", (), {"Unpickler": TolerantUnpickler, "load": pickle.load}
+                    "M", (),
+                    {
+                        "Unpickler": TolerantUnpickler,
+                        "load": staticmethod(_restricted_load),
+                    },
                 ),
             )
     # fairseq layout: {'model': state_dict, 'args'/'cfg': ...}

@@ -182,17 +182,21 @@ class PromptBuilder:
         # token could collide with a configured latency id on non-Llama id
         # layouts and silently skip the splice below
         m_all = re.findall(r"<latency_(\d+)>", text)
-        knows_latency = m_all and all(
+        # only 1..len(t.latency) are real latency ids; <latency_0> or an
+        # out-of-range N is ordinary text (Python's -1 index would silently
+        # alias <latency_0> to the LAST latency id otherwise)
+        valid = [g for g in m_all if 1 <= int(g) <= len(t.latency)]
+        knows_latency = valid and all(
             list(self.tokenizer.encode(f"<latency_{g}>"))
             == [t.latency[int(g) - 1]]
-            for g in m_all
+            for g in valid
         )
-        if knows_latency or not m_all:
+        if knows_latency or not valid:
             return ids
         out: List[int] = []
         for part in re.split(r"(<latency_\d+>)", text):
             m = re.fullmatch(r"<latency_(\d+)>", part)
-            if m:
+            if m and 1 <= int(m.group(1)) <= len(t.latency):
                 out.append(t.latency[int(m.group(1)) - 1])
             elif part:
                 out.extend(self.tokenizer.encode(part))

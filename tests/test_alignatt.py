@@ -121,3 +121,39 @@ def test_attn_early_stop_beam2_smoke():
         act = agent.push(rng.randn(chunk).astype(np.float32) * 0.1,
                          finished=(i == 2))
     assert not act.is_read() and act.finished
+
+
+@pytest.mark.slow
+def test_alignatt_cap_boundary_prefix_agreement():
+    """A stream that crosses max_audio_chunks must agree EXACTLY with a
+    run at a larger cap for the whole pre-cap prefix (the capped policy
+    only deviates once truncation actually occurs), and keep producing
+    valid monotone output after the cap (VERDICT r2 #5a; the reference's
+    unbounded-recompute condition is scripts/infer/streamatt.sh:78-79)."""
+    chunk = 15360  # 960 ms
+    # distinct audio per chunk so truncation is observable
+    rng = np.random.RandomState(7)
+    rng_audio = [rng.randn(chunk).astype(np.float32) * 0.1 for _ in range(6)]
+
+    outs = {}
+    for cap in (4, 8):
+        agent = _mk(
+            AlignAttAgent, AlignAttOptions,
+            max_audio_chunks=cap, max_prompt_target_tokens=64,
+        )
+        per_chunk = []
+        for i in range(6):
+            agent.push(rng_audio[i], finished=(i == 5))
+            per_chunk.append(list(agent.states.target_ids))
+        outs[cap] = per_chunk
+
+    # chunks 0..3: <= 4 chunks of audio exist, no truncation under either
+    # cap -> bit-identical emissions
+    for i in range(4):
+        assert outs[4][i] == outs[8][i], (i, outs[4][i], outs[8][i])
+    # prefix property: the pre-cap output is a prefix of the capped run's
+    # final transcript (emissions are append-only)
+    assert outs[4][5][: len(outs[4][3])] == outs[4][3]
+    # post-cap the capped agent still runs and grows monotonically
+    for i in range(1, 6):
+        assert outs[4][i][: len(outs[4][i - 1])] == outs[4][i - 1]

@@ -307,6 +307,41 @@ def test_load_torch_state_pickle_gating(tmp_path):
     assert out2["x"].shape == (2, 2)
 
 
+def test_load_torch_state_legacy_header_pickles_restricted(tmp_path):
+    """torch's _legacy_load (non-zip format) calls pickle_module.load(f) on
+    three attacker-controlled HEADER pickles before it ever constructs
+    pickle_module.Unpickler — the shim's ``load`` must therefore be
+    restricted too, or a crafted legacy file executes arbitrary
+    ``__reduce__`` code on the exact allow_pickle=True path the fallback
+    exists for."""
+    import os
+    import pickle as pk
+
+    sentinel = tmp_path / "pwned_dir"
+
+    class Evil:
+        def __reduce__(self):
+            return (os.mkdir, (str(sentinel),))
+
+    # A non-zipfile "checkpoint" whose first (magic-number) pickle carries
+    # the payload; unrestricted pickle.load would mkdir the sentinel.
+    mal = tmp_path / "legacy_evil.pt"
+    mal.write_bytes(pk.dumps(Evil()) + pk.dumps(1001) + pk.dumps({}))
+
+    with pytest.raises(Exception):
+        C.load_torch_state(str(mal), allow_pickle=True)
+    assert not sentinel.exists(), (
+        "legacy-format header pickle executed code through the fallback "
+        "loader — the pickle_module.load shim is not restricted"
+    )
+
+    # Control: the same bytes through raw pickle.load DO run the payload
+    # (proves the file is a genuine exploit vector, not a malformed no-op).
+    with open(mal, "rb") as f:
+        pk.load(f)
+    assert sentinel.exists()
+
+
 def test_convert_hubert_layout_and_groupnorm_parity():
     """'default' extractor (hubert): conv_layers.0.2.{weight,bias} is a
     GroupNorm(dim, dim); our conv frontend must match the torch chain, and

@@ -1,6 +1,7 @@
 """Data layer tests: audio IO, sampler packing, collators, templates,
 latency metrics, preprocess helpers."""
 
+import dataclasses
 import os
 
 import numpy as np
@@ -311,3 +312,24 @@ def test_sys_text_ids_registered_latency_token():
     got = b._sys_text_ids(b.system_text(3))
     assert TOKENS.latency[2] in got
     assert got == tok.encode(b.system_text(3))
+
+
+def test_sys_text_ids_out_of_range_latency_is_plain_text():
+    """<latency_0> / <latency_99> are NOT latency ids (Python's -1 index
+    would silently alias <latency_0> to the LAST latency id): they must be
+    encoded as ordinary text, and in-range tokens in the same string must
+    still splice correctly."""
+    toks = dataclasses.replace(TOKENS, latency=(511, 512, 513, 514))
+    tok = FakeBPE()
+    b = PromptBuilder(tok, toks, use_hf_template=False)
+
+    for bad in ("<latency_0>", "<latency_99>"):
+        text = f"speak with latency {bad}."
+        got = b._sys_text_ids(text)
+        assert got == tok.encode(text)          # plain whole-string encode
+        assert not set(got) & set(toks.latency)
+
+    mixed = "first <latency_0> then <latency_2> end"
+    got = b._sys_text_ids(mixed)
+    assert toks.latency[1] in got               # in-range still spliced
+    assert toks.latency[-1] not in got          # latency_0 did NOT alias

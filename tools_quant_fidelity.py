@@ -1,0 +1,263 @@
+"""W8A8 fidelity probe on PEAKED logits: token-flip / beam-winner rates.
+
+The round-2 verdict: random-init logits are near-flat, so the earlier
+"logit error ~5.2% of logit std" probe does not bound the quantity that
+predicts BLEU — the argmax-flip rate on peaked (trained) distributions.
+
+This tool trains a small (128-divisible) llama to convergence on a fixed
+corpus (CPU, ~1 min), producing genuinely peaked logits, then measures for
+each quantization variant against the f32 reference, all through the SAME
+production decode path (models/llama.decode_step -> models/quant.mm):
+
+  - teacher-forced argmax flip rate on the peaked training corpus
+  - teacher-forced flip rate on held-out (model-generated) text
+  - free-running greedy divergence (first step where rollouts differ)
+  - beam-4 winner change rate (decode/beam.beam_search)
+  - top1-top2 margin quantiles + logit-error quantiles (so the table is
+    interpretable: flips happen where |dlogit| crosses the margin)
+
+Variants:
+  bf16      : weights cast to bf16 (the no-quant serving baseline —
+              calibrates what a known-quality-neutral cast does)
+  w8        : weight-only int8, per-out-channel scales (reference-dequant
+              math on CPU; the Pallas kernel adds only bf16 rounding)
+  w8a8      : int8 activations x int8 weights, per-out-channel scales +
+              int8 lm_head — the flagship 0.179-RTF config
+  w8a8_g128 : w8a8 with per-(128-wide input group, out-channel) weight
+              scales (models/quant.py group_size=128)
+
+Usage:  python tools_quant_fidelity.py [--steps 600] [--json out.json]
+Run on CPU (JAX_PLATFORMS=cpu); ~2 min.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from infinisst_tpu.core.config import LlamaConfig
+from infinisst_tpu.decode import beam as beam_mod
+from infinisst_tpu.models import llama as L
+from infinisst_tpu.models import quant as Q
+from infinisst_tpu.streaming.state import init_decoder_state
+
+CFG = LlamaConfig(
+    vocab_size=512, hidden_size=256, intermediate_size=512, num_layers=4,
+    num_heads=4, num_kv_heads=4, head_dim=64, rope_scaling=False,
+)
+
+
+def make_corpus(rng: np.random.RandomState, n_seq: int, S: int) -> np.ndarray:
+    """Structured sequences (affine next-token rule + per-seq offset) —
+    learnable, so the overfit model's logits become near-deterministic."""
+    out = np.zeros((n_seq, S), np.int64)
+    for b in range(n_seq):
+        t = rng.randint(0, CFG.vocab_size)
+        step = 3 + 2 * (b % 5)
+        for s in range(S):
+            out[b, s] = t
+            t = (t * 1 + step + (7 if s % 4 == 0 else 0)) % CFG.vocab_size
+    return out
+
+
+def train(params, corpus: np.ndarray, steps: int):
+    import optax
+
+    ids = jnp.asarray(corpus)
+    x = ids[:, :-1]
+    y = ids[:, 1:]
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    def loss_fn(p):
+        logits = L.offline_forward(p, CFG, L.embed(p, x))
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(lp, y[..., None], axis=-1)[..., 0]
+        return nll.mean()
+
+    @jax.jit
+    def step(p, o):
+        l, g = jax.value_and_grad(loss_fn)(p)
+        up, o = tx.update(g, o, p)
+        return optax.apply_updates(p, up), o, l
+
+    for i in range(steps):
+        params, opt, l = step(params, opt)
+        if i % 100 == 0 or i == steps - 1:
+            print(f"  train step {i}: loss {float(l):.4f}", file=sys.stderr)
+    return params
+
+
+def prefill_logits(params, ids: jnp.ndarray) -> jnp.ndarray:
+    """Teacher-forced logits over the whole batch through decode_step (the
+    production inference path, quant-aware via models/quant.mm)."""
+    B, S = ids.shape
+    st = init_decoder_state(
+        CFG.num_layers, B, S, CFG.num_kv_heads, CFG.head_dim, jnp.float32
+    )
+    logits, _ = L.decode_step(params, CFG, st, L.embed(params, ids))
+    return logits.astype(jnp.float32)
+
+
+def greedy_rollout(params, prompt: jnp.ndarray, n: int) -> list:
+    st = init_decoder_state(
+        CFG.num_layers, 1, prompt.shape[0] + n, CFG.num_kv_heads,
+        CFG.head_dim, jnp.float32,
+    )
+    logits, st = L.decode_step(params, CFG, st, L.embed(params, prompt[None]))
+    tok = int(jnp.argmax(logits[0, -1, : CFG.vocab_size]))
+    out = [tok]
+    for _ in range(n - 1):
+        logits, st = L.decode_step(
+            params, CFG, st, L.embed(params, jnp.asarray([[tok]]))
+        )
+        tok = int(jnp.argmax(logits[0, -1, : CFG.vocab_size]))
+        out.append(tok)
+    return out
+
+
+def beam_winner(params, prompt: jnp.ndarray, n: int) -> list:
+    spec = beam_mod.BeamSpec(
+        beam=4, max_new_tokens=n, eos_id=-1, pad_id=0,
+        no_repeat_ngram_size=0, repetition_penalty=1.0,
+    )
+    st = init_decoder_state(
+        CFG.num_layers, 1, prompt.shape[0] + n, CFG.num_kv_heads,
+        CFG.head_dim, jnp.float32,
+    )
+    logits, st = L.decode_step(params, CFG, st, L.embed(params, prompt[None]))
+    res = beam_mod.beam_search(
+        params, CFG, st, logits[0, -1, : CFG.vocab_size],
+        prompt, jnp.asarray(prompt.shape[0], jnp.int32),
+        jnp.zeros((1,), jnp.int32), jnp.asarray(0, jnp.int32), spec,
+    )
+    nt = int(res.n_tokens)
+    return res.tokens[:nt].tolist()
+
+
+def quant_variants(params):
+    bf16 = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        params,
+    )
+    w8 = Q.quantize_llama_params(params)
+    w8a8 = Q.quantize_llama_params(
+        params, quantize_lm_head=True, act_int8=True
+    )
+    out = {"bf16": bf16, "w8": w8, "w8a8": w8a8}
+    try:
+        out["w8a8_g128"] = Q.quantize_llama_params(
+            params, quantize_lm_head=True, act_int8=True, group_size=128
+        )
+    except TypeError:
+        print("  (group_size not available; skipping w8a8_g128)",
+              file=sys.stderr)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--json", type=str, default=None)
+    args = ap.parse_args()
+
+    # CPU-only: the pallas weight-only kernel is replaced by its exact
+    # jnp dequant reference (same math; the kernel adds bf16 rounding)
+    from infinisst_tpu.kernels.quant_matmul import quantized_matmul_reference
+
+    Q.quantized_matmul = (
+        lambda y, w, s, interpret=False: quantized_matmul_reference(y, w, s)
+    )
+
+    rng = np.random.RandomState(0)
+    corpus = make_corpus(rng, n_seq=8, S=64)
+    params = L.init_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    print("training tiny llama to peak its logits...", file=sys.stderr)
+    params = train(params, corpus, args.steps)
+
+    ids_train = jnp.asarray(corpus)
+    ref_logits_train = prefill_logits(params, ids_train)
+
+    # held-out on-distribution text: greedy rollouts from unseen prefixes
+    held_prompts = [
+        jnp.asarray(make_corpus(np.random.RandomState(100 + i), 1, 8)[0])
+        for i in range(6)
+    ]
+    held_seqs = [
+        jnp.concatenate([p, jnp.asarray(greedy_rollout(params, p, 40))])
+        for p in held_prompts
+    ]
+    ids_held = jnp.stack(held_seqs)
+    ref_logits_held = prefill_logits(params, ids_held)
+
+    ref_roll = [greedy_rollout(params, p, 32) for p in held_prompts]
+    ref_beam = [beam_winner(params, p, 24) for p in held_prompts]
+
+    def margin_stats(logits):
+        top2 = jax.lax.top_k(logits[..., : CFG.vocab_size], 2)[0]
+        m = np.asarray(top2[..., 0] - top2[..., 1]).ravel()
+        return {
+            "margin_p10": float(np.percentile(m, 10)),
+            "margin_p50": float(np.percentile(m, 50)),
+        }
+
+    results = {
+        "config": "llama D=256 I=512 L=4 V=512 f32-trained "
+                  f"({args.steps} steps)",
+        "train_margins": margin_stats(ref_logits_train),
+        "held_margins": margin_stats(ref_logits_held),
+        "variants": {},
+    }
+
+    for name, vp in quant_variants(params).items():
+        row = {}
+        for tag, ids, ref_logits in (
+            ("train", ids_train, ref_logits_train),
+            ("held", ids_held, ref_logits_held),
+        ):
+            ql = prefill_logits(vp, ids)
+            ra = np.asarray(
+                jnp.argmax(ref_logits[..., : CFG.vocab_size], -1)
+            )
+            qa = np.asarray(jnp.argmax(ql[..., : CFG.vocab_size], -1))
+            flips = float((ra != qa).mean())
+            err = np.asarray(
+                jnp.abs(ql - ref_logits)[..., : CFG.vocab_size]
+            ).ravel()
+            row[f"{tag}_flip_rate"] = round(flips, 5)
+            row[f"{tag}_dlogit_p50"] = round(float(np.percentile(err, 50)), 4)
+            row[f"{tag}_dlogit_p99"] = round(float(np.percentile(err, 99)), 4)
+
+        div = []
+        for p, r in zip(held_prompts, ref_roll):
+            qroll = greedy_rollout(vp, p, 32)
+            d = next(
+                (i for i, (a, b) in enumerate(zip(r, qroll)) if a != b),
+                len(r),
+            )
+            div.append(d)
+        row["greedy_first_divergence"] = div
+        row["greedy_match_32"] = sum(d == 32 for d in div)
+
+        bchange = 0
+        for p, r in zip(held_prompts, ref_beam):
+            if beam_winner(vp, p, 24) != r:
+                bchange += 1
+        row["beam4_winner_changed"] = f"{bchange}/{len(held_prompts)}"
+        results["variants"][name] = row
+        print(f"{name}: {json.dumps(row)}", file=sys.stderr)
+
+    print(json.dumps(results, indent=2))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
