@@ -58,7 +58,7 @@ def streaming_chunk_mask(
     seq_len: int,
     prefix_len: jnp.ndarray | int,
     max_cache_size: int,
-    blocksize: int,
+    blocksize: int | jnp.ndarray,
     kv_len: int,
 ) -> jnp.ndarray:
     """Mask for a new chunk of ``seq_len`` queries attending over a
@@ -82,13 +82,21 @@ def streaming_chunk_mask(
       seq_len: number of new queries (one chunk of frames).
       prefix_len: traced int32 — frames already consumed (cache.n_steps).
       max_cache_size: sliding window size in frames.
+      blocksize: static int, or traced (B,) int32 for PER-ROW block sizes
+        (the mixed-multiplier serving pool: each slot's chunk is one block
+        of 48*m_slot frames).
       kv_len: static KV width = cache_capacity + seq_len.
     Returns:
-      bool[seq_len, kv_len]
+      bool[seq_len, kv_len]  (or [B, seq_len, kv_len] when batched)
     """
     prefix_len = jnp.asarray(prefix_len, jnp.int32)
     if prefix_len.ndim:  # batched: (B,) -> (B, 1, 1)
         prefix_len = prefix_len.reshape(prefix_len.shape + (1, 1))
+    blocksize = jnp.asarray(blocksize, jnp.int32)
+    if blocksize.ndim:  # batched per-row block sizes
+        blocksize = jnp.maximum(blocksize, 1).reshape(
+            blocksize.shape + (1, 1)
+        )
     cache_cap = kv_len - seq_len
     valid_cached = jnp.minimum(prefix_len, max_cache_size)
 

@@ -39,11 +39,17 @@ def encode_chunk(
     window: jnp.ndarray,  # (B, conv_window_samples)
     chunk_frames: int,
     max_cache_frames: int,
+    row_frames=None,  # (B,) per-row real frame counts (mixed multipliers)
 ) -> Tuple[jnp.ndarray, EncoderState]:
-    """Raw-sample window -> (B, chunk_frames/4, llm_dim) speech tokens."""
+    """Raw-sample window -> (B, chunk_frames/4, llm_dim) speech tokens.
+
+    With ``row_frames``, rows may carry different real chunk sizes (see
+    wav2vec2.chunk_step); the adapter is chunk-local with VALID padding,
+    so each row's first row_frames/4 output tokens are unaffected by the
+    padded tail."""
     frames, enc_state = w2v2_mod.chunk_step(
         params["w2v2"], cfg.w2v2, enc_state, window, chunk_frames,
-        max_cache_frames,
+        max_cache_frames, row_frames=row_frames,
     )
     tokens = adapter_mod.forward(params["adapter"], cfg.adapter, frames)
     return tokens, enc_state

@@ -318,6 +318,7 @@ def chunk_step(
     window: jnp.ndarray,  # (B, CONV_LEFT_CONTEXT + 2*chunk_samples)
     chunk_frames: int,
     max_cache_frames: int,
+    row_frames: Optional[jnp.ndarray] = None,  # (B,) real new frames/row
 ) -> Tuple[jnp.ndarray, EncoderState]:
     """Streaming step: encode one chunk with the sliding-window cache.
 
@@ -327,7 +328,19 @@ def chunk_step(
     the static-shape equivalent of the reference's cache.src / src_len
     bookkeeping (patch_speech_encoder.py:241-264).
 
-    Returns (frames (B, chunk_frames, D), new_state).
+    ``row_frames`` enables MIXED chunk sizes in one batched call (the
+    mixed-multiplier serving pool): ``chunk_frames`` is then the padded
+    maximum (48 * m_max) and row i carries ``row_frames[i]`` real new
+    frames (48 * m_i; 0 = the row sits this step out).  Row i's real
+    samples must sit right-aligned in its window (the engine's per-row
+    roll guarantees this); its conv outputs are left-aligned here, the
+    attention block size becomes its own chunk (one chunk = one block,
+    as in the uniform path), and the ring append shifts by exactly
+    ``row_frames[i]`` — a row with 0 frames passes through UNCHANGED,
+    which also makes skipped ticks state-safe.
+
+    Returns (frames (B, chunk_frames, D) — real rows left-aligned,
+    new_state).
     """
     x = _prep_frames(params, cfg, window)
     # conv over the window yields 2*chunk_frames outputs; keep the new half.
@@ -335,6 +348,16 @@ def chunk_step(
     B, S, D = x.shape
     C = state.k.shape[2]
     n = state.n_frames  # (B,)
+
+    if row_frames is not None:
+        rf = jnp.asarray(row_frames, jnp.int32)
+        # left-align each row's (right-aligned) real conv outputs
+        j = lax.broadcasted_iota(jnp.int32, (B, S), 1)
+        src = jnp.clip(S - rf[:, None] + j, 0, S - 1)
+        x = jnp.take_along_axis(x, src[:, :, None], axis=1)
+    else:
+        rf = None
+
     if not cfg.use_rope:
         # abs-pos fallback: sinusoidal at the ABSOLUTE stream offset
         # (ref: patch_speech_encoder.py:489-494 — not cache-relative)
@@ -344,8 +367,13 @@ def chunk_step(
         x = x + emb.astype(x.dtype)
 
     mask = M.streaming_chunk_mask(
-        S, n, max_cache_frames, chunk_frames, C + S
+        S, n, max_cache_frames,
+        chunk_frames if rf is None else rf, C + S,
     )  # (B, S, C+S)
+    if rf is not None:
+        # only the first row_frames[i] new keys are real
+        kj = lax.broadcasted_iota(jnp.int32, (B, S, C + S), 2)
+        mask = mask & ((kj < C) | (kj - C < rf[:, None, None]))
     bias = M.additive(mask)[:, None]  # (B, 1, S, C+S)
 
     valid = jnp.minimum(n, C)[:, None]  # (B, 1)
@@ -357,10 +385,23 @@ def chunk_step(
     out, new_kv = _encoder_stack(
         params, cfg, x, bias, q_pos, k_pos, (state.k, state.v), inv_freq
     )
-    # right-aligned sliding append: drop oldest S slots, append the chunk.
-    new_k = jnp.concatenate([state.k[:, :, S:], new_kv[0]], axis=2)
-    new_v = jnp.concatenate([state.v[:, :, S:], new_kv[1]], axis=2)
-    return out, EncoderState(k=new_k, v=new_v, n_frames=n + S)
+    if rf is None:
+        # right-aligned sliding append: drop oldest S slots, append the chunk
+        new_k = jnp.concatenate([state.k[:, :, S:], new_kv[0]], axis=2)
+        new_v = jnp.concatenate([state.v[:, :, S:], new_kv[1]], axis=2)
+        return out, EncoderState(k=new_k, v=new_v, n_frames=n + S)
+    # per-row shift append: ring slides by row_frames[i] (0 = unchanged)
+    idx = (rf[:, None] + jnp.arange(C)[None, :])[None, :, :, None, None]
+
+    def shift(buf, new):
+        full = jnp.concatenate([buf, new], axis=2)  # (L, B, C+S, H, Dh)
+        return jnp.take_along_axis(full, idx, axis=2)
+
+    return out, EncoderState(
+        k=shift(state.k, new_kv[0]),
+        v=shift(state.v, new_kv[1]),
+        n_frames=n + rf,
+    )
 
 
 # ---------------------------------------------------------------------------

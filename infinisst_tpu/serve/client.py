@@ -23,6 +23,7 @@ async def stream_file(
     target_lang: str = "German",
     chunk_ms: int = 960,
     realtime: bool = False,
+    multiplier: int = None,
 ):
     reader, writer = await asyncio.open_connection(
         host, port, limit=16 * 1024 * 1024
@@ -32,9 +33,13 @@ async def stream_file(
         writer.write((json.dumps(obj) + "\n").encode())
         await writer.drain()
 
-    await send(
-        {"type": "open", "source_lang": source_lang, "target_lang": target_lang}
-    )
+    open_msg = {
+        "type": "open", "source_lang": source_lang,
+        "target_lang": target_lang,
+    }
+    if multiplier is not None:
+        open_msg["multiplier"] = multiplier
+    await send(open_msg)
     opened = json.loads(await reader.readline())
     assert opened["type"] == "opened", opened
 
@@ -79,6 +84,9 @@ def main():  # pragma: no cover - network entrypoint
     p.add_argument("--source-lang", default="English")
     p.add_argument("--target-lang", default="German")
     p.add_argument("--realtime", action="store_true")
+    p.add_argument("--multiplier", type=int, default=None,
+                   help="requested latency multiplier (must be in the "
+                   "server's --multipliers set)")
     args = p.parse_args()
 
     from infinisst_tpu.data.audio import get_waveform
@@ -88,7 +96,7 @@ def main():  # pragma: no cover - network entrypoint
     texts = asyncio.run(
         stream_file(
             args.host, args.port, wav, args.source_lang, args.target_lang,
-            realtime=args.realtime,
+            realtime=args.realtime, multiplier=args.multiplier,
         )
     )
     print("FINAL:", " ".join(texts))

@@ -18,9 +18,17 @@ jitted step functions —
 - per-slot KV validity/eviction uses the same left-aligned cache + gather
   machinery as the single-stream agent.
 
-All slots must share a latency multiplier (chunk cadence); run several
-engines for mixed-m serving.  Language pair is per-slot (the system prompt
-differs per slot, which the batched prefill handles with padded prompts).
+Latency multipliers are PER-SLOT (``multipliers=(1,2,4)`` declares the
+allowed set): every per-row quantity the multiplier touches — chunk
+cadence, encoder block size, audio window shift, patch count, generation
+cap — is a traced (B,) input to ONE compiled step at the m_max-padded
+geometry.  A slot at m ticks every m x 960 ms and sits other ticks out
+with a zero row shift (its window/ring/cache pass through untouched),
+so mixed-m clients share the weight stream of a single pool, and
+``update_multiplier`` switches a live slot without recompiling (the
+pooled equivalent of agents/infinisst.py:152-157).  Language pair is
+per-slot (the system prompt differs per slot, which the batched prefill
+handles with padded prompts).
 """
 
 from __future__ import annotations
@@ -34,6 +42,7 @@ import numpy as np
 
 from infinisst_tpu.core.config import (
     CONV_LEFT_CONTEXT,
+    SAMPLES_PER_FRAME,
     ModelConfig,
     StreamConfig,
 )
@@ -52,6 +61,7 @@ class StreamSlot:
     active: bool = False
     client_id: Optional[str] = None
     lang_pair: tuple = ("English", "German")
+    m: int = 1  # latency multiplier (chunk cadence = m x 960 ms)
     pending: np.ndarray = field(
         default_factory=lambda: np.zeros(0, np.float32)
     )
@@ -78,19 +88,25 @@ class ServingEngine:
         dtype=jnp.bfloat16,
         beam: int = 1,
         suppress_tokens=None,  # ids to ban (agents' --suppress-non-language)
+        multipliers: Optional[tuple] = None,  # allowed per-slot multipliers
     ):
         self.params = params
         self.cfg = cfg
         self.stream = stream_cfg
         self.builders = builders
         self.pool = pool_size
-        self.m = multiplier
-        self.max_new = max_new_tokens or stream_cfg.max_new_tokens(multiplier)
+        self.m = multiplier  # default multiplier for new slots
+        self.multipliers = tuple(sorted(set(multipliers or (multiplier,))))
+        m_max = max(self.multipliers + (multiplier,))
+        self.m_max = m_max
+        self.max_new = max_new_tokens or stream_cfg.max_new_tokens(m_max)
         self.dtype = dtype
         self.beam = beam
 
-        self.chunk_samples = stream_cfg.chunk_samples(multiplier)
-        self.chunk_frames = stream_cfg.chunk_frames(multiplier)
+        # padded per-tick geometry (rows at m < m_max carry fewer real
+        # frames; a row sitting a tick out carries zero)
+        self.chunk_samples = stream_cfg.chunk_samples(m_max)
+        self.chunk_frames = stream_cfg.chunk_frames(m_max)
         self.window_samples = CONV_LEFT_CONTEXT + 2 * self.chunk_samples
         V = cfg.llama.vocab_size
         sup = np.zeros((V,), bool)
@@ -116,10 +132,12 @@ class ServingEngine:
         # prompt layouts are identical across languages except for the
         # system text; patch offsets depend only on (first, m)
         # fixed prompt width: the longest first-chunk prompt across
-        # languages, rounded up — one compiled step shape for the pool
+        # languages AND allowed multipliers, rounded up — one compiled
+        # step shape for the pool
         smax = max(
-            len(b.chunk_prompt(multiplier, first=True).ids)
+            len(b.chunk_prompt(mi, first=True).ids)
             for b in builders.values()
+            for mi in set(self.multipliers + (multiplier,))
         )
         self._S = int(np.ceil(smax / 16) * 16)
         self._step_fn = self._build_step()
@@ -133,17 +151,34 @@ class ServingEngine:
         )
 
     # -- slot management -----------------------------------------------------
-    def open_stream(self, client_id: str, lang_pair=("English", "German")):
+    def open_stream(self, client_id: str, lang_pair=("English", "German"),
+                    multiplier: Optional[int] = None):
+        m = multiplier or self.m
+        if m not in self.multipliers:
+            raise ValueError(
+                f"multiplier {m} not in the engine's allowed set "
+                f"{self.multipliers} (pass multipliers=... at construction)"
+            )
         for i, s in enumerate(self.slots):
             if not s.active:
                 self.slots[i] = StreamSlot(
                     active=True,
                     client_id=client_id,
                     lang_pair=lang_pair,
+                    m=m,
                 )
                 self._reset_slot_state(i)
                 return i
         raise RuntimeError("no free slots")
+
+    def update_multiplier(self, slot: int, m: int):
+        """Switch a live slot's latency multiplier mid-stream (the pooled
+        equivalent of agents/infinisst.py:152-157): takes effect from the
+        slot's next chunk — cadence, patch count, and generation cap are
+        per-row traced inputs, so no recompilation."""
+        if m not in self.multipliers:
+            raise ValueError((m, self.multipliers))
+        self.slots[slot].m = m
 
     def close_stream(self, slot: int):
         self.slots[slot] = StreamSlot()
@@ -178,28 +213,34 @@ class ServingEngine:
         eos = cfg.tokens.eos
         beam_n = self.beam
 
-        chunk_samples = self.chunk_samples
+        window_samples = self.window_samples
 
         def step(params, enc, dec, windows, chunks_i16, ids, valid_mask,
-                 patch_starts, row_active, hist, hist_len):
-            # roll the device windows with this tick's audio; inactive rows
-            # receive zeros (harmless — their outputs are discarded)
+                 patch_starts, row_active, hist, hist_len, row_frames,
+                 row_patches, row_max_new):
+            # roll each device window by ITS OWN chunk size: row i's new
+            # samples (row_frames[i]*320, left-aligned in chunks_i16[i])
+            # slide in so real audio stays right-aligned; a row with
+            # row_frames=0 (sitting this tick out, or at a slower cadence)
+            # keeps its window byte-identical.
             new = chunks_i16.astype(jnp.float32) / 32768.0
-            windows = jnp.concatenate(
-                [windows[:, chunk_samples:], new], axis=1
-            )
-            # encode all rows (inactive rows carry zeros; harmless)
+            full = jnp.concatenate([windows, new], axis=1)
+            shift = (row_frames * SAMPLES_PER_FRAME)[:, None]
+            idx = shift + jnp.arange(window_samples)[None, :]
+            windows = jnp.take_along_axis(full, idx, axis=1)
+            # encode all rows (padded/inactive tails are masked per row)
             speech, enc2 = speech_llm.encode_chunk(
                 params, cfg, enc, windows, chunk_frames,
-                stream.max_cache_frames,
+                stream.max_cache_frames, row_frames=row_frames,
             )
             emb = llama_mod.embed(params["llama"], ids)
-            # splice per-row patch offsets
+            # splice per-row patch offsets and per-row patch COUNTS
+            # (12 * m_slot real speech tokens, left-aligned in speech)
             B, S, D = emb.shape
             P = speech.shape[1]
             pos = jnp.arange(S)[None, :]
             in_patch = (pos >= patch_starts[:, None]) & (
-                pos < patch_starts[:, None] + P
+                pos < patch_starts[:, None] + row_patches[:, None]
             )
             rank = jnp.clip(pos - patch_starts[:, None], 0, P - 1)
             sp = jnp.take_along_axis(speech, rank[:, :, None], axis=1)
@@ -231,7 +272,7 @@ class ServingEngine:
                     prompt_lens.astype(jnp.int32), hist, hist_len, spec,
                     encoder_ngram_size=stream.no_repeat_ngram_size,
                     suppress_mask=self._suppress,
-                    max_steps=jnp.where(row_active, max_new, 1).astype(
+                    max_steps=jnp.where(row_active, row_max_new, 1).astype(
                         jnp.int32
                     ),
                     return_kv=True,
@@ -294,7 +335,10 @@ class ServingEngine:
                     scores = lp.suppress_tokens(scores, self._suppress)
                 nxt = jnp.argmax(scores, -1).astype(jnp.int32)
                 is_eos = nxt == eos
-                emit = (~donef) & (~is_eos) & row_active
+                emit = (
+                    (~donef) & (~is_eos) & row_active
+                    & (n_tok < row_max_new)  # per-row generation cap (10*m)
+                )
                 toks = jnp.where(
                     emit[:, None],
                     toks.at[jnp.arange(toks.shape[0]), n_tok].set(nxt),
@@ -341,7 +385,8 @@ class ServingEngine:
         for i, s in enumerate(self.slots):
             if not s.active or s.done:
                 continue
-            if len(s.pending) >= self.chunk_samples or (
+            cs = self.stream.chunk_samples(s.m)  # per-slot cadence
+            if len(s.pending) >= cs or (
                 s.finished_input and len(s.pending) > 0
             ):
                 ready.append(i)
@@ -352,6 +397,9 @@ class ServingEngine:
         chunks = np.zeros((B, self.chunk_samples), np.int16)
         patch_starts = np.zeros((B,), np.int32)
         row_active = np.zeros((B,), bool)
+        row_frames = np.zeros((B,), np.int32)
+        row_patches = np.zeros((B,), np.int32)
+        row_max_new = np.ones((B,), np.int32)
         hist = np.full(
             (B, self.stream.no_repeat_ngram_lookback),
             self.cfg.tokens.pad, np.int32,
@@ -361,17 +409,25 @@ class ServingEngine:
         prompts = []
         for i in ready:
             s = self.slots[i]
-            seg = s.pending[: self.chunk_samples]
-            if len(seg) < self.chunk_samples:
+            cs = self.stream.chunk_samples(s.m)
+            seg = s.pending[:cs]
+            if len(seg) < cs:
                 seg = np.concatenate(
-                    [seg, np.zeros(self.chunk_samples - len(seg), np.float32)]
+                    [seg, np.zeros(cs - len(seg), np.float32)]
                 )
-            s.pending = s.pending[self.chunk_samples :]
-            chunks[i] = np.clip(seg * 32768.0, -32768, 32767).astype(np.int16)
+            s.pending = s.pending[cs:]
+            # real samples LEFT-aligned in the padded row; the step's
+            # per-row window shift right-aligns them into the conv window
+            chunks[i, :cs] = np.clip(
+                seg * 32768.0, -32768, 32767
+            ).astype(np.int16)
+            row_frames[i] = self.stream.chunk_frames(s.m)
+            row_patches[i] = self.stream.chunk_speech_tokens(s.m)
+            row_max_new[i] = self.stream.max_new_tokens(s.m)
             builder = self.builders[s.lang_pair]
-            pr = builder.chunk_prompt(self.m, first=s.first_chunk)
+            pr = builder.chunk_prompt(s.m, first=s.first_chunk)
             if s.first_chunk:
-                s.system_prompt_size = builder.system_prompt_size(self.m)
+                s.system_prompt_size = builder.system_prompt_size(s.m)
             prompts.append((i, pr))
             row_active[i] = True
             tail = s.target_ids[-self.stream.no_repeat_ngram_lookback :]
@@ -391,6 +447,8 @@ class ServingEngine:
             jnp.asarray(chunks), jnp.asarray(ids), jnp.asarray(valid),
             jnp.asarray(patch_starts), jnp.asarray(row_active),
             jnp.asarray(hist), jnp.asarray(hist_len),
+            jnp.asarray(row_frames), jnp.asarray(row_patches),
+            jnp.asarray(row_max_new),
         )
         self.enc_state, self.dec_state = enc2, dec2
         toks, n_tok = jax.device_get((toks, n_tok))

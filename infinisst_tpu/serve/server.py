@@ -3,7 +3,8 @@ TCP; the websocket-demo equivalent of the reference's serving path).
 
 Protocol (one JSON object per line):
   client -> server:
-    {"type": "open", "source_lang": "English", "target_lang": "German"}
+    {"type": "open", "source_lang": "English", "target_lang": "German",
+     "multiplier": 1}   # optional; must be in the server's --multipliers set
     {"type": "audio", "pcm": [float...], "finished": false}
     {"type": "close"}
   server -> client:
@@ -72,9 +73,19 @@ class StreamingServer:
                         msg.get("source_lang", "English"),
                         msg.get("target_lang", "German"),
                     )
-                    slot = self.engine.open_stream(
-                        str(writer.get_extra_info("peername")), pair
-                    )
+                    try:
+                        slot = self.engine.open_stream(
+                            str(writer.get_extra_info("peername")), pair,
+                            multiplier=msg.get("multiplier"),
+                        )
+                    except ValueError as e:
+                        writer.write(
+                            (json.dumps(
+                                {"type": "error", "message": str(e)}
+                            ) + "\n").encode()
+                        )
+                        await writer.drain()
+                        continue
                     self.slot_writers[slot] = writer
                     writer.write(
                         (json.dumps({"type": "opened", "slot": slot}) + "\n")
@@ -121,7 +132,12 @@ def main():  # pragma: no cover - network entrypoint
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8765)
     p.add_argument("--pool-size", type=int, default=8)
-    p.add_argument("--multiplier", type=int, default=1)
+    p.add_argument("--multiplier", type=int, default=1,
+                   help="default latency multiplier for clients that do "
+                   "not request one")
+    p.add_argument("--multipliers", type=str, default=None,
+                   help="comma list of ALLOWED per-client multipliers "
+                   "(e.g. 1,2,4); one pool serves all of them mixed")
     p.add_argument("--beam", type=int, default=4,
                    help="beam width per slot (the reference's quality "
                    "configuration is beam 4; 1 = batched greedy)")
@@ -217,6 +233,10 @@ def main():  # pragma: no cover - network entrypoint
         params, cfg, StreamConfig(), builders,
         pool_size=args.pool_size, multiplier=args.multiplier,
         beam=args.beam, suppress_tokens=suppress,
+        multipliers=(
+            tuple(int(x) for x in args.multipliers.split(","))
+            if args.multipliers else None
+        ),
     )
     asyncio.run(StreamingServer(engine).run(args.host, args.port))
 

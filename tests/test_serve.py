@@ -310,3 +310,117 @@ def test_batched_beam_matches_sequential():
                 np.asarray(solo.kv_k[:, :n_emit]),
                 atol=1e-5,
             )
+
+
+@pytest.mark.slow
+def test_engine_mixed_multipliers():
+    """One pool, two latency multipliers: an m=1 slot (960 ms cadence) and
+    an m=2 slot (1920 ms cadence) share the SAME batched step.  Each
+    slot's output must equal a pure single-multiplier engine run on the
+    same audio, and the m=2 slot must only consume audio every other
+    tick."""
+    cfg = CFG.replace(tokens=small_special_tokens())
+    stream = StreamConfig(
+        max_cache_frames=96, max_llm_cache_tokens=120, llm_cache_capacity=256
+    )
+    tok = StubTokenizer(512, lo=10, hi=400)
+    builders = {
+        ("English", "German"): PromptBuilder(
+            tok, cfg.tokens, "English", "German"
+        ),
+    }
+    params = tiny_params()
+
+    def mk(multipliers, default_m):
+        return ServingEngine(
+            params, cfg, stream, builders, pool_size=2,
+            multiplier=default_m, dtype=jnp.float32, beam=2,
+            multipliers=multipliers,
+        )
+
+    rng = np.random.RandomState(0)
+    unit = stream.chunk_samples(1)
+    n_ticks = 4
+    a0 = rng.randn(n_ticks * unit).astype(np.float32) * 0.1
+    a1 = rng.randn(n_ticks * unit).astype(np.float32) * 0.1
+
+    # --- mixed pool: slot0 at m=1, slot1 at m=2
+    eng = mk((1, 2), 1)
+    s0 = eng.open_stream("c0", multiplier=1)
+    s1 = eng.open_stream("c1", multiplier=2)
+    m2_ticks = []
+    for t in range(n_ticks):
+        fin = t == n_ticks - 1
+        eng.push_audio(s0, a0[t * unit: (t + 1) * unit], finished=fin)
+        eng.push_audio(s1, a1[t * unit: (t + 1) * unit], finished=fin)
+        before = len(eng.slots[s1].target_ids)
+        eng.tick()
+        if len(eng.slots[s1].target_ids) > before or (
+            eng.slots[s1].cache_len
+            and t % 2 == 1
+        ):
+            m2_ticks.append(t)
+    mixed0 = list(eng.slots[s0].target_ids)
+    mixed1 = list(eng.slots[s1].target_ids)
+    assert eng.slots[s0].done and eng.slots[s1].done
+    # m=2 slot consumed audio only on every other tick
+    assert all(t % 2 == 1 for t in m2_ticks), m2_ticks
+
+    # --- pure m=1 engine, same audio for slot0
+    p1 = mk((1,), 1)
+    u0 = p1.open_stream("p0", multiplier=1)
+    for t in range(n_ticks):
+        p1.push_audio(u0, a0[t * unit: (t + 1) * unit],
+                      finished=(t == n_ticks - 1))
+        p1.tick()
+    assert list(p1.slots[u0].target_ids) == mixed0
+
+    # --- pure m=2 engine, same audio for slot1
+    p2 = mk((2,), 2)
+    u1 = p2.open_stream("p1", multiplier=2)
+    for t in range(n_ticks):
+        p2.push_audio(u1, a1[t * unit: (t + 1) * unit],
+                      finished=(t == n_ticks - 1))
+        p2.tick()
+    assert list(p2.slots[u1].target_ids) == mixed1
+
+    # invalid multiplier is rejected
+    with pytest.raises(ValueError):
+        eng.open_stream("bad", multiplier=3)
+
+
+@pytest.mark.slow
+def test_engine_update_multiplier_mid_stream():
+    """Per-slot update_multiplier: an m=1 slot switched to m=2 mid-stream
+    keeps translating at the new cadence without recompiling (same jitted
+    step), and its transcript only grows."""
+    cfg = CFG.replace(tokens=small_special_tokens())
+    stream = StreamConfig(
+        max_cache_frames=96, max_llm_cache_tokens=120, llm_cache_capacity=256
+    )
+    tok = StubTokenizer(512, lo=10, hi=400)
+    builders = {
+        ("English", "German"): PromptBuilder(
+            tok, cfg.tokens, "English", "German"
+        ),
+    }
+    eng = ServingEngine(
+        tiny_params(), cfg, stream, builders, pool_size=2, multiplier=1,
+        dtype=jnp.float32, beam=2, multipliers=(1, 2),
+    )
+    s0 = eng.open_stream("c0", multiplier=1)
+    rng = np.random.RandomState(3)
+    unit = stream.chunk_samples(1)
+    lens = []
+    for t in range(6):
+        if t == 2:
+            eng.update_multiplier(s0, 2)
+        eng.push_audio(s0, rng.randn(unit).astype(np.float32) * 0.1,
+                       finished=(t == 5))
+        eng.tick()
+        lens.append(len(eng.slots[s0].target_ids))
+    assert eng.slots[s0].done
+    assert lens == sorted(lens)          # transcript only grows
+    assert lens[-1] > 0
+    with pytest.raises(ValueError):
+        eng.update_multiplier(s0, 5)

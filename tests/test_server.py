@@ -57,3 +57,62 @@ def test_server_two_clients():
     # both clients got a final message sequence
     assert isinstance(r0, list) and isinstance(r1, list)
     assert len(r0) >= 1 and len(r1) >= 1
+
+
+@pytest.mark.slow
+def test_server_mixed_multiplier_clients():
+    """Two TCP clients at DIFFERENT latency multipliers (m=1 and m=2)
+    served concurrently by ONE engine pool (VERDICT r2 #6): both receive
+    final transcripts, and a client requesting a multiplier outside the
+    allowed set gets an error instead of a slot."""
+    cfg = CFG.replace(tokens=small_special_tokens())
+    stream = StreamConfig(
+        max_cache_frames=96, max_llm_cache_tokens=120, llm_cache_capacity=256
+    )
+    tok = StubTokenizer(512, lo=10, hi=400)
+    builders = {
+        ("English", "German"): PromptBuilder(tok, cfg.tokens, "English", "German"),
+    }
+    eng = ServingEngine(
+        tiny_params(), cfg, stream, builders, pool_size=4, multiplier=1,
+        dtype=jnp.float32, multipliers=(1, 2), beam=2,
+    )
+    srv = StreamingServer(eng, tick_interval=0.05)
+
+    async def bad_open(host, port):
+        import json
+        reader, writer = await asyncio.open_connection(host, port)
+        writer.write(
+            (json.dumps({"type": "open", "multiplier": 7}) + "\n").encode()
+        )
+        await writer.drain()
+        msg = json.loads(await reader.readline())
+        writer.close()
+        return msg
+
+    async def run():
+        server = await asyncio.start_server(
+            srv.handle, "127.0.0.1", 0, limit=16 * 1024 * 1024
+        )
+        port = server.sockets[0].getsockname()[1]
+        tick = asyncio.create_task(srv.tick_loop())
+        rng = np.random.RandomState(1)
+        wavs = [
+            rng.randn(4 * 15360).astype(np.float32) * 0.1 for _ in range(2)
+        ]
+        results = await asyncio.wait_for(
+            asyncio.gather(
+                stream_file("127.0.0.1", port, wavs[0], multiplier=1),
+                stream_file("127.0.0.1", port, wavs[1], multiplier=2),
+                bad_open("127.0.0.1", port),
+            ),
+            timeout=600,
+        )
+        tick.cancel()
+        server.close()
+        return results
+
+    r0, r1, err = asyncio.run(run())
+    assert isinstance(r0, list) and len(r0) >= 1
+    assert isinstance(r1, list) and len(r1) >= 1
+    assert err["type"] == "error" and "7" in err["message"]

@@ -194,3 +194,92 @@ def test_sinusoidal_positions_formula():
         np.testing.assert_allclose(
             emb[i, half:], np.cos(pos * freqs), rtol=1e-5, atol=1e-6
         )
+
+
+def test_mixed_row_frames_chunk_step_matches_uniform():
+    """Mixed-multiplier batched encoding (chunk_step row_frames): one
+    padded call carrying an m=1 row (48 new frames every tick) and an m=2
+    row (96 frames every other tick, 0 in between) must reproduce each
+    row's UNIFORM single-stream run bit-near-exactly, and rows with
+    row_frames=0 must pass through with state unchanged."""
+    cfg = CFG.w2v2
+    params = W.init_params(jax.random.PRNGKey(0), cfg)
+    max_cache = 96
+    S1, S2 = 48, 96  # frames per chunk at m=1 / m=2
+    c1, c2 = S1 * SAMPLES_PER_FRAME, S2 * SAMPLES_PER_FRAME
+    n_ticks = 4
+    a0 = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(11), (n_ticks * c1,)) * 0.1
+    )
+    a1 = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(12), (n_ticks * c1,)) * 0.1
+    )
+
+    # --- uniform references
+    def run_uniform(audio, chunk_frames):
+        chunk_samples = chunk_frames * SAMPLES_PER_FRAME
+        st = init_encoder_state(
+            cfg.encoder_layers, 1, max_cache, cfg.encoder_attention_heads,
+            cfg.head_dim, dtype=jnp.float32,
+        )
+        win = RawAudioWindow(
+            CONV_LEFT_CONTEXT + 2 * chunk_samples, chunk_samples
+        )
+        outs = []
+        for i in range(len(audio) // chunk_samples):
+            w = win.push(audio[i * chunk_samples : (i + 1) * chunk_samples])
+            out, st = W.chunk_step(
+                params, cfg, st, jnp.asarray(w)[None], chunk_frames,
+                max_cache,
+            )
+            outs.append(np.asarray(out[0]))
+        return outs, st
+
+    ref0, st0 = run_uniform(a0, S1)   # m=1: 4 chunks of 48
+    ref1, st1 = run_uniform(a1, S2)   # m=2: 2 chunks of 96
+
+    # --- mixed batched run at padded geometry S2
+    Wm = CONV_LEFT_CONTEXT + 2 * c2
+    st = init_encoder_state(
+        cfg.encoder_layers, 2, max_cache, cfg.encoder_attention_heads,
+        cfg.head_dim, dtype=jnp.float32,
+    )
+    windows = np.zeros((2, Wm), np.float32)
+
+    def right_fill(row, history):
+        h = history[-Wm:]
+        windows[row] = 0.0
+        windows[row, Wm - len(h):] = h
+
+    outs0, outs1 = [], []
+    for t in range(n_ticks):
+        rf = [S1, 0]
+        right_fill(0, a0[: (t + 1) * c1])
+        if t % 2 == 1:
+            rf[1] = S2
+            right_fill(1, a1[: (t + 1) * c1])
+        out, st = W.chunk_step(
+            params, cfg, st, jnp.asarray(windows), S2, max_cache,
+            row_frames=jnp.asarray(rf, jnp.int32),
+        )
+        outs0.append(np.asarray(out[0, :S1]))
+        if rf[1]:
+            outs1.append(np.asarray(out[1, :S2]))
+        # skipped row's state must be untouched
+        if rf[1] == 0:
+            assert int(st.n_frames[1]) == (t // 2) * S2
+
+    for t in range(n_ticks):
+        np.testing.assert_allclose(outs0[t], ref0[t], atol=2e-4, rtol=2e-3)
+    for i in range(2):
+        np.testing.assert_allclose(outs1[i], ref1[i], atol=2e-4, rtol=2e-3)
+
+    # final ring state matches the uniform runs per row
+    np.testing.assert_allclose(
+        np.asarray(st.k[:, 0]), np.asarray(st0.k[:, 0]), atol=2e-4, rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(st.k[:, 1]), np.asarray(st1.k[:, 0]), atol=2e-4, rtol=2e-3
+    )
+    assert int(st.n_frames[0]) == n_ticks * S1
+    assert int(st.n_frames[1]) == n_ticks * S1

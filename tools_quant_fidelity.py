@@ -94,9 +94,8 @@ def train(params, corpus: np.ndarray, steps: int):
     return params
 
 
-def prefill_logits(params, ids: jnp.ndarray) -> jnp.ndarray:
-    """Teacher-forced logits over the whole batch through decode_step (the
-    production inference path, quant-aware via models/quant.mm)."""
+@jax.jit
+def _prefill(params, ids):
     B, S = ids.shape
     st = init_decoder_state(
         CFG.num_layers, B, S, CFG.num_kv_heads, CFG.head_dim, jnp.float32
@@ -105,38 +104,57 @@ def prefill_logits(params, ids: jnp.ndarray) -> jnp.ndarray:
     return logits.astype(jnp.float32)
 
 
-def greedy_rollout(params, prompt: jnp.ndarray, n: int) -> list:
+def prefill_logits(params, ids: jnp.ndarray) -> jnp.ndarray:
+    """Teacher-forced logits over the whole batch through decode_step (the
+    production inference path, quant-aware via models/quant.mm)."""
+    return _prefill(params, ids)
+
+
+@jax.jit
+def _greedy(params, prompt, n_static=32):
     st = init_decoder_state(
-        CFG.num_layers, 1, prompt.shape[0] + n, CFG.num_kv_heads,
+        CFG.num_layers, 1, prompt.shape[0] + n_static, CFG.num_kv_heads,
         CFG.head_dim, jnp.float32,
     )
     logits, st = L.decode_step(params, CFG, st, L.embed(params, prompt[None]))
-    tok = int(jnp.argmax(logits[0, -1, : CFG.vocab_size]))
-    out = [tok]
-    for _ in range(n - 1):
-        logits, st = L.decode_step(
-            params, CFG, st, L.embed(params, jnp.asarray([[tok]]))
-        )
-        tok = int(jnp.argmax(logits[0, -1, : CFG.vocab_size]))
-        out.append(tok)
-    return out
+    tok0 = jnp.argmax(logits[0, -1, : CFG.vocab_size]).astype(jnp.int32)
+
+    def body(carry, _):
+        st, tok = carry
+        lg, st = L.decode_step(params, CFG, st, L.embed(params, tok[None, None]))
+        nxt = jnp.argmax(lg[0, -1, : CFG.vocab_size]).astype(jnp.int32)
+        return (st, nxt), tok
+
+    (_, last), toks = jax.lax.scan(body, (st, tok0), None, length=n_static)
+    return toks
 
 
-def beam_winner(params, prompt: jnp.ndarray, n: int) -> list:
+def greedy_rollout(params, prompt: jnp.ndarray, n: int) -> list:
+    assert n == 32
+    return [int(t) for t in jax.device_get(_greedy(params, prompt))]
+
+
+@jax.jit
+def _beam(params, prompt, n_static=24):
     spec = beam_mod.BeamSpec(
-        beam=4, max_new_tokens=n, eos_id=-1, pad_id=0,
+        beam=4, max_new_tokens=n_static, eos_id=-1, pad_id=0,
         no_repeat_ngram_size=0, repetition_penalty=1.0,
     )
     st = init_decoder_state(
-        CFG.num_layers, 1, prompt.shape[0] + n, CFG.num_kv_heads,
+        CFG.num_layers, 1, prompt.shape[0] + n_static, CFG.num_kv_heads,
         CFG.head_dim, jnp.float32,
     )
     logits, st = L.decode_step(params, CFG, st, L.embed(params, prompt[None]))
-    res = beam_mod.beam_search(
+    return beam_mod.beam_search(
         params, CFG, st, logits[0, -1, : CFG.vocab_size],
         prompt, jnp.asarray(prompt.shape[0], jnp.int32),
         jnp.zeros((1,), jnp.int32), jnp.asarray(0, jnp.int32), spec,
     )
+
+
+def beam_winner(params, prompt: jnp.ndarray, n: int) -> list:
+    assert n == 24
+    res = jax.device_get(_beam(params, prompt))
     nt = int(res.n_tokens)
     return res.tokens[:nt].tolist()
 
@@ -190,7 +208,9 @@ def main():
         for i in range(6)
     ]
     held_seqs = [
-        jnp.concatenate([p, jnp.asarray(greedy_rollout(params, p, 40))])
+        jnp.concatenate(
+            [p, jnp.asarray(greedy_rollout(params, p, 32), jnp.int32)]
+        )
         for p in held_prompts
     ]
     ids_held = jnp.stack(held_seqs)
