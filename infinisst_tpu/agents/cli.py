@@ -67,6 +67,11 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--max-new-tokens", type=int, default=None)
     # sampling decode (ref: agents/options.py --do-sample/--temperature/
     # --top-k/--top-p/--epsilon-cutoff — the DPO data-collection path)
+    # speculative greedy decode (TPU-native extension, no reference
+    # counterpart): layer-skip draft + k-token verify; implies greedy
+    p.add_argument("--speculative", action="store_true")
+    p.add_argument("--spec-draft-layers", type=int, default=8)
+    p.add_argument("--spec-k", type=int, default=4)
     p.add_argument("--do-sample", action="store_true")
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top-k", type=int, default=0)
@@ -198,10 +203,17 @@ def build_agent(args):
 
     params = jax.tree.map(lambda x: x.astype(dtype), params)
 
+    if args.speculative and args.agent != "infinisst":
+        raise SystemExit(
+            "--speculative is only implemented for --agent infinisst"
+        )
     common = dict(
         latency_multiplier=args.latency_multiplier,
         max_latency_multiplier=args.max_latency_multiplier,
         beam=args.beam,
+        speculative=args.speculative,
+        spec_draft_layers=args.spec_draft_layers,
+        spec_k=args.spec_k,
         do_sample=args.do_sample,
         temperature=args.temperature,
         top_k=args.top_k,

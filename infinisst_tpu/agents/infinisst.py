@@ -84,6 +84,15 @@ class InfiniSSTOptions:
     top_p: float = 1.0
     epsilon_cutoff: float = 0.0
     sample_seed: int = 0
+    # speculative greedy decode (decode/speculative.py): layer-skip draft
+    # + k-token verify.  IMPLIES greedy semantics (beam is ignored) —
+    # output is exactly sequential processed-greedy, only faster when the
+    # draft's acceptance rate is high.  TPU-native extension; the
+    # reference has no speculative path.
+    speculative: bool = False
+    spec_draft_layers: int = 8
+    spec_k: int = 4
+    spec_accept_all: bool = False  # bench-only machinery ceiling
 
 
 class InfiniSSTAgent(SpeechToTextAgent):
@@ -197,6 +206,11 @@ class InfiniSSTAgent(SpeechToTextAgent):
         self.pend_n_host = 0
         self.system_prompt_size = 0
         self.first_chunk = True
+        # cumulative speculative-decode stats (acceptance reporting)
+        self.spec_rounds = 0
+        self.spec_drafted = 0
+        self.spec_accepted = 0
+        self.spec_emitted = 0
 
     def reset(self):
         super().reset()
@@ -235,6 +249,25 @@ class InfiniSSTAgent(SpeechToTextAgent):
         Lh = self.opts.no_repeat_ngram_lookback
         is_tail = n_units != m
         do_sample = self.opts.do_sample
+        speculative = self.opts.speculative
+        if speculative:
+            if do_sample:
+                raise ValueError(
+                    "speculative decoding is greedy-exact; it cannot be "
+                    "combined with --do-sample"
+                )
+            from infinisst_tpu.decode import speculative as spec_mod
+
+            sp_spec = spec_mod.SpecSpec(
+                max_new_tokens=self.max_new,
+                eos_id=self.cfg.tokens.eos,
+                pad_id=self.cfg.tokens.pad,
+                draft_layers=self.opts.spec_draft_layers,
+                draft_k=self.opts.spec_k,
+                no_repeat_ngram_size=self.opts.no_repeat_ngram_size,
+                repetition_penalty=self.opts.repetition_penalty,
+                accept_all=self.opts.spec_accept_all,
+            )
         if do_sample:
             sspec = beam_mod.SampleSpec(
                 max_new_tokens=self.max_new,
@@ -309,6 +342,22 @@ class InfiniSSTAgent(SpeechToTextAgent):
                     encoder_ngram_size=enc_ng,
                     suppress_mask=suppress,
                 )
+            elif speculative:
+                from infinisst_tpu.decode import speculative as spec_mod
+
+                res = spec_mod.speculative_greedy(
+                    params["llama"],
+                    cfg.llama,
+                    dec2,
+                    last_logits,
+                    prompt_ids[0],
+                    jnp.asarray(prompt_ids.shape[1], jnp.int32),
+                    hist,
+                    hist_len,
+                    sp_spec,
+                    encoder_ngram_size=enc_ng,
+                    suppress_mask=suppress,
+                )
             else:
                 res = beam_mod.beam_search(
                     params["llama"],
@@ -328,16 +377,31 @@ class InfiniSSTAgent(SpeechToTextAgent):
             n_emit = jnp.where(
                 res.hit_eos, res.n_tokens, jnp.maximum(res.n_tokens - 1, 0)
             )
-            # new pending = this chunk's EMITTED tokens (committed next call).
-            # The reference also drops the capped last token from the cache
-            # (its KV is never computed: sequences[:, :-1] before the next
-            # forward), so pending must hold n_emit tokens, not n_tokens —
-            # otherwise the model conditions on a token the user never saw.
-            pend_out = jnp.full((P,), cfg.tokens.pad, jnp.int32)
-            pend_out = jax.lax.dynamic_update_slice(pend_out, res.tokens, (0,))
-            pend_out = jnp.where(
-                jnp.arange(P) < n_emit, pend_out, cfg.tokens.pad
-            )
+            if speculative:
+                # speculative verification already committed the generated
+                # tokens' K/V into the cache; roll back to the EMITTED
+                # prefix (the cap-dropped final token must not condition
+                # future chunks) and leave nothing pending.
+                dec2 = res.dec._replace(
+                    valid_len=res.dec.valid_len - (res.n_tokens - n_emit)
+                )
+                pend_out = jnp.full((P,), cfg.tokens.pad, jnp.int32)
+                pend_n_out = jnp.zeros((), jnp.int32)
+            else:
+                # new pending = this chunk's EMITTED tokens (committed next
+                # call).  The reference also drops the capped last token
+                # from the cache (its KV is never computed:
+                # sequences[:, :-1] before the next forward), so pending
+                # must hold n_emit tokens, not n_tokens — otherwise the
+                # model conditions on a token the user never saw.
+                pend_out = jnp.full((P,), cfg.tokens.pad, jnp.int32)
+                pend_out = jax.lax.dynamic_update_slice(
+                    pend_out, res.tokens, (0,)
+                )
+                pend_out = jnp.where(
+                    jnp.arange(P) < n_emit, pend_out, cfg.tokens.pad
+                )
+                pend_n_out = n_emit
             # device-side history ring update (last Lh emitted tokens):
             # append the new tokens at hist_len, keep the trailing Lh window
             cat = jnp.concatenate([hist, jnp.full((G,), cfg.tokens.pad, hist.dtype)])
@@ -349,17 +413,20 @@ class InfiniSSTAgent(SpeechToTextAgent):
             new_hist = jnp.where(
                 jnp.arange(Lh) < new_len, new_hist, cfg.tokens.pad
             )
-            packed = jnp.concatenate(
-                [
-                    res.n_tokens[None],
-                    res.hit_eos.astype(jnp.int32)[None],
-                    n_emit[None],
-                    res.tokens,
-                ]
-            )
+            parts = [
+                res.n_tokens[None],
+                res.hit_eos.astype(jnp.int32)[None],
+                n_emit[None],
+                res.tokens,
+            ]
+            if speculative:
+                # draft diagnostics for the bench / acceptance reporting
+                parts += [res.rounds[None], res.drafted[None],
+                          res.accepted[None]]
+            packed = jnp.concatenate(parts)
             return (
                 packed, enc2, dec2, window, new_hist, new_len,
-                pend_out, n_emit,
+                pend_out, pend_n_out,
             )
 
         gen = jax.jit(generate_chunk, donate_argnums=(1, 2, 3, 4, 6))
@@ -508,7 +575,16 @@ class InfiniSSTAgent(SpeechToTextAgent):
             )
         n_emit = int(packed[2])
         out_ids = packed[3 : 3 + n_emit].tolist()
-        self.pend_n_host = n_emit
+        if opts.speculative:
+            # tokens were committed in-cache during verification
+            self.pend_n_host = 0
+            r, dr, ac = (int(x) for x in packed[-3:])
+            self.spec_rounds += r
+            self.spec_drafted += dr
+            self.spec_accepted += ac
+            self.spec_emitted += int(packed[0])
+        else:
+            self.pend_n_host = n_emit
 
         self.first_chunk = False
         states.target_ids.extend(out_ids)

@@ -15,6 +15,7 @@ from infinisst_tpu.core.config import (
     AdapterConfig,
     LlamaConfig,
     ModelConfig,
+    SpecialTokens,
     W2V2Config,
     conv_cfg,
 )
@@ -58,5 +59,13 @@ def dryrun_config() -> ModelConfig:
             num_kv_heads=4,
             head_dim=16,
             rope_scaling=False,
+        ),
+        # special-token ids INSIDE the 1024 vocab (the Llama defaults sit
+        # at 128000+ and would clamp-gather garbage embeddings)
+        tokens=SpecialTokens(
+            bos=1000, eot=1001, eos=1001, start_header=1002,
+            end_header=1003, pad=1004, user=1005, assistant=1006,
+            newline2=1007, sp_patch=1008, sp_start=1009, sp_end=1010,
+            latency=(1011, 1012, 1013, 1014), end_of_text=999,
         ),
     )

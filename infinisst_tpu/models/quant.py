@@ -49,30 +49,71 @@ def mm(y: jnp.ndarray, w, interpret: bool = False) -> jnp.ndarray:
     shape = y.shape
     y2 = y.reshape(-1, shape[-1])
     if "scale_a8" in w:
-        # Pure XLA: int8 x int8 dot_general lowers natively to the MXU
-        # (int32 accumulate) and the rescale fuses into the surrounding
-        # graph — no per-op Pallas launch overhead (at 7 projections x 32
-        # layers per decode step the fixed kernel-call cost dominated the
-        # Pallas W8A8 variant, kernels/quant_matmul.quantized_matmul_w8a8).
-        y_q, y_s = quantize_activation(y2)
-        acc = jax.lax.dot_general(
-            y_q, w["q"], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        out = (
-            acc.astype(jnp.float32) * y_s * w["scale_a8"][None, :]
-        ).astype(y.dtype)
+        if w["scale_a8"].ndim == 2:
+            # per-(128-wide input group, out-channel) weight scales AND
+            # per-(row, group) activation scales: the finer grain bounds
+            # the quant error of outlier channels (the optional
+            # quality-belt mode; fidelity table in ARCHITECTURE.md).
+            # Lowered as a G-batched int8 MXU matmul; the (M, G, O) int32
+            # intermediate fuses into the rescale+sum.
+            Gr, O = w["scale_a8"].shape
+            M, D = y2.shape
+            gs = D // Gr
+            yg = y2.reshape(M, Gr, gs).astype(jnp.float32)
+            y_s = jnp.maximum(
+                jnp.max(jnp.abs(yg), axis=-1, keepdims=True), 1e-8
+            ) / 127.0  # (M, Gr, 1)
+            y_q = jnp.clip(jnp.round(yg / y_s), -127, 127).astype(jnp.int8)
+            acc = jnp.einsum(
+                "mgk,gko->mgo", y_q, w["q"].reshape(Gr, gs, O),
+                preferred_element_type=jnp.int32,
+            )
+            out = (
+                acc.astype(jnp.float32) * y_s * w["scale_a8"][None]
+            ).sum(axis=1).astype(y.dtype)
+        else:
+            # Pure XLA: int8 x int8 dot_general lowers natively to the MXU
+            # (int32 accumulate) and the rescale fuses into the surrounding
+            # graph — no per-op Pallas launch overhead (at 7 projections x
+            # 32 layers per decode step the fixed kernel-call cost
+            # dominated the Pallas W8A8 variant,
+            # kernels/quant_matmul.quantized_matmul_w8a8).
+            y_q, y_s = quantize_activation(y2)
+            acc = jax.lax.dot_general(
+                y_q, w["q"], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            out = (
+                acc.astype(jnp.float32) * y_s * w["scale_a8"][None, :]
+            ).astype(y.dtype)
     else:
         out = quantized_matmul(y2, w["q"], w["scale"], interpret=interpret)
     return out.reshape(*shape[:-1], out.shape[-1])
 
 
-def _quantize_stacked(w: jnp.ndarray, a8: bool = False) -> Dict[str, jnp.ndarray]:
-    """(L, D, O) -> per (L, O) channel scales."""
+def _quantize_grouped(w2d: jnp.ndarray, gs: int):
+    """(D, O) -> int8 q (D, O) + per-(group, out-channel) scales
+    (D//gs, O)."""
+    D, O = w2d.shape
+    wg = w2d.reshape(D // gs, gs, O).astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(wg), axis=1), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(wg / s[:, None, :]), -127, 127).astype(jnp.int8)
+    return q.reshape(D, O), s
+
+
+def _quantize_stacked(
+    w: jnp.ndarray, a8: bool = False, group_size: int = 0
+) -> Dict[str, jnp.ndarray]:
+    """(L, D, O) -> per (L, O) channel scales, or per (L, D//gs, O) group
+    scales when ``group_size`` is set (requires a8)."""
     L = w.shape[0]
     qs, ss = [], []
     for i in range(L):
-        q, s = quantize_weight(w[i], axis=0)
+        if group_size:
+            assert a8, "grouped scales are only wired for the W8A8 path"
+            q, s = _quantize_grouped(w[i], group_size)
+        else:
+            q, s = quantize_weight(w[i], axis=0)
         qs.append(q)
         ss.append(s.astype(jnp.float32))
     return {
@@ -149,20 +190,29 @@ def quantize_llama_params(
     params: Dict[str, Any],
     quantize_lm_head: bool = False,
     act_int8: bool = False,
+    group_size: int = 0,
 ) -> Dict[str, Any]:
     """Quantize the per-layer projections (and optionally lm_head).
 
     ``act_int8`` selects the W8A8 path for the projections; the lm_head
     (when quantized) always uses W8A8 — weight-only dequant at 128k width
-    is VPU-bound and loses to bf16.  Requires all projection output dims to
-    be multiples of 128 (true for the bench/flagship configs; tiny test
-    configs should pass interpret=True to mm or stay bf16)."""
+    is VPU-bound and loses to bf16.  ``group_size`` (e.g. 128, W8A8 only)
+    switches to per-(input-group, out-channel) weight scales and
+    per-(row, group) activation scales — finer-grained error bounds for
+    outlier channels at a small rescale-sum cost (fidelity table:
+    ARCHITECTURE.md).  Requires all projection output dims to be multiples
+    of 128 (true for the bench/flagship configs; tiny test configs should
+    pass interpret=True to mm or stay bf16)."""
+    if group_size:
+        assert act_int8, "group_size requires act_int8 (W8A8)"
     out = dict(params)
     layers = dict(params["layers"])
     for k in QUANT_KEYS:
         w = layers[k]
         assert w.shape[-1] % 128 == 0, (k, w.shape)
-        layers[k] = _quantize_stacked(w, a8=act_int8)
+        if group_size:
+            assert w.shape[1] % group_size == 0, (k, w.shape, group_size)
+        layers[k] = _quantize_stacked(w, a8=act_int8, group_size=group_size)
     out["layers"] = layers
     if quantize_lm_head:
         w = params["lm_head"]
@@ -170,7 +220,11 @@ def quantize_llama_params(
         Vp = ((V + 511) // 512) * 512
         if Vp != V:
             w = jnp.pad(w, ((0, 0), (0, Vp - V)))
-        q, s = quantize_weight(w, axis=0)
-        s = s.at[V:].set(0.0) if Vp != V else s
+        if group_size:
+            q, s = _quantize_grouped(w, group_size)
+            s = s.at[:, V:].set(0.0) if Vp != V else s
+        else:
+            q, s = quantize_weight(w, axis=0)
+            s = s.at[V:].set(0.0) if Vp != V else s
         out["lm_head"] = {"q": q, "scale_a8": s.astype(jnp.float32)}
     return out

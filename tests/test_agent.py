@@ -182,3 +182,38 @@ def test_agent_sampling_decode():
     for i, a in enumerate(audio[:2]):
         agent.push(a, finished=False)
     assert len(agent.states.translations_list) >= 1
+
+
+@pytest.mark.slow
+def test_agent_speculative_stream_matches_drafts():
+    """--speculative greedy streaming: emitted transcripts are independent
+    of draft quality (d=1 terrible draft vs d=2 = full model perfect
+    draft), eviction bookkeeping stays consistent (tokens are committed
+    in-cache, nothing pending), and the perfect draft accepts
+    everything."""
+    outs = {}
+    stats = {}
+    for d in (1, 2):
+        agent = make_agent(
+            speculative=True, spec_draft_layers=d, spec_k=3,
+        )
+        rng = np.random.RandomState(5)
+        chunk = agent.chunk_samples
+        for i in range(4):
+            agent.push(rng.randn(chunk).astype(np.float32) * 0.1,
+                       finished=(i == 3))
+        outs[d] = list(agent.states.target_ids)
+        stats[d] = (agent.spec_rounds, agent.spec_drafted,
+                    agent.spec_accepted, agent.spec_emitted)
+        assert agent.pend_n_host == 0
+        # physical cache equals the logical mirror (no pending split)
+        assert int(agent.dec_state.valid_len[0]) == agent.llm_cache_len
+    assert outs[1] == outs[2], (outs, stats)
+    assert len(outs[1]) > 0
+    # the full-model draft accepts every drafted token
+    r2, dr2, ac2, em2 = stats[2]
+    assert ac2 == dr2 or em2 < r2 * 4  # eos/cap can cut rounds short
+    # acceptance with the 1-layer draft on random weights is (near) zero,
+    # so it must use (close to) one round per emitted token
+    r1, dr1, ac1, em1 = stats[1]
+    assert r1 >= em1 - ac1

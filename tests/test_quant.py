@@ -126,3 +126,43 @@ def test_quantize_llama_params_modes():
     assert q1["lm_head"]["q"].shape[-1] % 512 == 0
     q2 = quantize_llama_params(params)
     assert "scale" in q2["layers"]["wq"] and "scale_a8" not in q2["layers"]["wq"]
+
+
+def test_grouped_w8a8_matches_fp_closely():
+    """group_size=128 W8A8: per-(group, out-channel) weight scales +
+    per-(row, group) activation scales must (a) run through the llama
+    decode path, (b) approximate fp at least as well as per-channel W8A8
+    on outlier-heavy weights."""
+    cfg = LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=256, num_layers=2,
+        num_heads=2, num_kv_heads=2, head_dim=128, rope_scaling=False,
+    )
+    k = jax.random.PRNGKey(0)
+    params = L.init_params(k, cfg)
+    # inject per-group outliers so the finer scales matter
+    ly = dict(params["layers"])
+    w = ly["w_up"]
+    boost = jnp.where(
+        (jnp.arange(w.shape[1]) // 128 % 2 == 0)[None, :, None], 8.0, 1.0
+    )
+    ly["w_up"] = w * boost
+    params = dict(params, layers=ly)
+
+    qc = quantize_llama_params(params, quantize_lm_head=True, act_int8=True)
+    qg = quantize_llama_params(
+        params, quantize_lm_head=True, act_int8=True, group_size=128
+    )
+
+    toks = jax.random.randint(jax.random.PRNGKey(1), (1, 7), 0, 256)
+    x = L.embed(params, toks)
+
+    def run(p):
+        st = init_decoder_state(2, 1, 16, 2, 128, dtype=jnp.float32)
+        lg, _ = L.decode_step(p, cfg, st, x)
+        return np.asarray(lg, np.float32)
+
+    full = run(params)
+    err_c = np.abs(run(qc) - full).mean()
+    err_g = np.abs(run(qg) - full).mean()
+    assert err_g <= err_c * 1.05, (err_g, err_c)
+    assert err_g < np.abs(full).std()  # sane overall error

@@ -1,0 +1,194 @@
+"""Speculative greedy decoding: exactness vs sequential processed-greedy.
+
+The layer-skip draft only controls SPEED; the emitted tokens must be
+identical to a plain sequential greedy loop with the same logits
+processors, for any draft quality (d=1 terrible draft, d=L perfect
+draft)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from infinisst_tpu.core.config import LlamaConfig
+from infinisst_tpu.decode import logits as lp
+from infinisst_tpu.decode.speculative import SpecSpec, speculative_greedy
+from infinisst_tpu.models import llama as L
+from infinisst_tpu.streaming.state import init_decoder_state
+
+CFG = LlamaConfig(
+    vocab_size=128, hidden_size=64, intermediate_size=128, num_layers=4,
+    num_heads=4, num_kv_heads=2, head_dim=16, rope_scaling=False,
+)
+G = 12
+PAD = 0
+REP = 1.2
+NGRAM = 3
+
+
+def setup(seed=0, plen=9, cap=64):
+    params = L.init_params(jax.random.PRNGKey(seed), CFG, jnp.float32)
+    prompt = jax.random.randint(
+        jax.random.PRNGKey(seed + 100), (plen,), 1, CFG.vocab_size
+    ).astype(jnp.int32)
+    dec = init_decoder_state(
+        CFG.num_layers, 1, cap, CFG.num_kv_heads, CFG.head_dim, jnp.float32
+    )
+    logits, dec = L.decode_step(params, CFG, dec, L.embed(params, prompt[None]))
+    return params, prompt, dec, logits[0, -1]
+
+
+def seq_greedy(params, prompt, dec, first_logits, eos_id, hist, hist_len):
+    """Independent sequential reference: same processor order as
+    decode/beam.py process_scores."""
+    Tbuf = len(prompt) + G
+    seq = list(np.asarray(prompt))
+    out = []
+    logits = first_logits
+    hit = False
+    for _ in range(G):
+        buf = np.full((Tbuf,), PAD, np.int32)
+        buf[: len(seq)] = seq
+        scores = jax.nn.log_softmax(logits.astype(jnp.float32))[None]
+        scores = lp.repetition_penalty(
+            scores, jnp.asarray(buf)[None],
+            (jnp.arange(Tbuf) < len(seq))[None], REP,
+        )
+        scores = lp.no_repeat_ngram(
+            scores, jnp.asarray(buf)[None],
+            jnp.asarray([len(seq)], jnp.int32), NGRAM,
+        )
+        scores = lp.encoder_no_repeat_ngram(
+            scores, hist[None], hist_len[None], jnp.asarray(buf)[None],
+            jnp.asarray([len(seq)], jnp.int32), NGRAM,
+        )
+        tok = int(jnp.argmax(scores[0]))
+        if tok == eos_id:
+            hit = True
+            break
+        out.append(tok)
+        seq.append(tok)
+        lg, dec = L.decode_step(
+            params, CFG, dec, L.embed(params, jnp.asarray([[tok]]))
+        )
+        logits = lg[0, -1]
+    return out, hit
+
+
+@pytest.mark.parametrize("draft_layers", [1, 2, 4])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_spec_matches_sequential(draft_layers, seed):
+    params, prompt, dec0, first = setup(seed)
+    hist = jnp.full((16,), PAD, jnp.int32)
+    hlen = jnp.zeros((), jnp.int32)
+    eos = -1  # unreachable
+
+    ref, ref_hit = seq_greedy(
+        params, prompt, jax.tree.map(lambda a: a.copy(), dec0), first,
+        eos, hist, hlen,
+    )
+
+    spec = SpecSpec(
+        max_new_tokens=G, eos_id=eos, pad_id=PAD,
+        draft_layers=draft_layers, draft_k=4,
+        no_repeat_ngram_size=NGRAM, repetition_penalty=REP,
+    )
+    res = jax.jit(
+        lambda d, f: speculative_greedy(
+            params, CFG, d, f, prompt,
+            jnp.asarray(len(prompt), jnp.int32), hist, hlen, spec,
+            encoder_ngram_size=NGRAM,
+        )
+    )(dec0, first)
+    got = res.tokens[: int(res.n_tokens)].tolist()
+    assert got == ref, (draft_layers, got, ref)
+    assert not bool(res.hit_eos)
+    # a perfect draft (d = num_layers) must accept everything: one round
+    # per k+1 tokens
+    if draft_layers == CFG.num_layers:
+        assert int(res.accepted) == int(res.drafted) or int(
+            res.n_tokens
+        ) < int(res.rounds) * 5
+        assert int(res.rounds) <= -(-G // 5) + 1
+    # cache commit: exactly the emitted tokens are valid
+    assert int(res.dec.valid_len[0]) == len(prompt) + len(got)
+
+
+def test_spec_eos_mid_stream():
+    """EOS inside an accepted run truncates emission and sets hit_eos,
+    matching the sequential loop stopped at the same token."""
+    params, prompt, dec0, first = setup(3)
+    hist = jnp.full((16,), PAD, jnp.int32)
+    hlen = jnp.zeros((), jnp.int32)
+
+    ref_free, _ = seq_greedy(
+        params, prompt, jax.tree.map(lambda a: a.copy(), dec0), first,
+        -1, hist, hlen,
+    )
+    assert len(ref_free) >= 3
+    eos = ref_free[2]  # third emitted token becomes EOS
+
+    ref, ref_hit = seq_greedy(
+        params, prompt, jax.tree.map(lambda a: a.copy(), dec0), first,
+        eos, hist, hlen,
+    )
+    spec = SpecSpec(
+        max_new_tokens=G, eos_id=eos, pad_id=PAD, draft_layers=4,
+        draft_k=4, no_repeat_ngram_size=NGRAM, repetition_penalty=REP,
+    )
+    res = speculative_greedy(
+        params, CFG, dec0, first, prompt,
+        jnp.asarray(len(prompt), jnp.int32), hist, hlen, spec,
+        encoder_ngram_size=NGRAM,
+    )
+    got = res.tokens[: int(res.n_tokens)].tolist()
+    assert got == ref
+    assert bool(res.hit_eos) == ref_hit == True  # noqa: E712
+    assert int(res.dec.valid_len[0]) == len(prompt) + len(got)
+
+
+def test_spec_committed_kv_matches_replay():
+    """The K/V committed during verification must equal replaying the
+    emitted tokens through decode_step (the beam path's commit)."""
+    params, prompt, dec0, first = setup(5)
+    hist = jnp.full((16,), PAD, jnp.int32)
+    hlen = jnp.zeros((), jnp.int32)
+    spec = SpecSpec(
+        max_new_tokens=G, eos_id=-1, pad_id=PAD, draft_layers=2,
+        draft_k=3, no_repeat_ngram_size=NGRAM, repetition_penalty=REP,
+    )
+    res = speculative_greedy(
+        params, CFG, jax.tree.map(lambda a: a.copy(), dec0), first, prompt,
+        jnp.asarray(len(prompt), jnp.int32), hist, hlen, spec,
+        encoder_ngram_size=NGRAM,
+    )
+    n = int(res.n_tokens)
+    toks = res.tokens[:n]
+    _, dec_replay = L.decode_step(
+        params, CFG, dec0, L.embed(params, toks[None])
+    )
+    V = int(res.dec.valid_len[0])
+    assert V == int(dec_replay.valid_len[0])
+    np.testing.assert_allclose(
+        np.asarray(res.dec.k[:, :, :V]),
+        np.asarray(dec_replay.k[:, :, :V]), atol=1e-5, rtol=1e-5,
+    )
+
+
+def test_spec_accept_all_machinery():
+    """accept_all (bench-only) runs G tokens in ceil(G/(k+1)) rounds."""
+    params, prompt, dec0, first = setup(7)
+    hist = jnp.full((16,), PAD, jnp.int32)
+    hlen = jnp.zeros((), jnp.int32)
+    spec = SpecSpec(
+        max_new_tokens=G, eos_id=-1, pad_id=PAD, draft_layers=1,
+        draft_k=3, no_repeat_ngram_size=NGRAM, repetition_penalty=REP,
+        accept_all=True,
+    )
+    res = speculative_greedy(
+        params, CFG, dec0, first, prompt,
+        jnp.asarray(len(prompt), jnp.int32), hist, hlen, spec,
+        encoder_ngram_size=NGRAM,
+    )
+    assert int(res.n_tokens) == G
+    assert int(res.rounds) == -(-G // 4)  # ceil(12/4) = 3

@@ -98,7 +98,8 @@ def train(params, corpus: np.ndarray, steps: int):
 def _prefill(params, ids):
     B, S = ids.shape
     st = init_decoder_state(
-        CFG.num_layers, B, S, CFG.num_kv_heads, CFG.head_dim, jnp.float32
+        CFG.num_layers, B, S, CFG.num_kv_heads, CFG.head_dim,
+        params["embed"].dtype,
     )
     logits, _ = L.decode_step(params, CFG, st, L.embed(params, ids))
     return logits.astype(jnp.float32)
@@ -114,7 +115,7 @@ def prefill_logits(params, ids: jnp.ndarray) -> jnp.ndarray:
 def _greedy(params, prompt, n_static=32):
     st = init_decoder_state(
         CFG.num_layers, 1, prompt.shape[0] + n_static, CFG.num_kv_heads,
-        CFG.head_dim, jnp.float32,
+        CFG.head_dim, params["embed"].dtype,
     )
     logits, st = L.decode_step(params, CFG, st, L.embed(params, prompt[None]))
     tok0 = jnp.argmax(logits[0, -1, : CFG.vocab_size]).astype(jnp.int32)
@@ -142,7 +143,7 @@ def _beam(params, prompt, n_static=24):
     )
     st = init_decoder_state(
         CFG.num_layers, 1, prompt.shape[0] + n_static, CFG.num_kv_heads,
-        CFG.head_dim, jnp.float32,
+        CFG.head_dim, params["embed"].dtype,
     )
     logits, st = L.decode_step(params, CFG, st, L.embed(params, prompt[None]))
     return beam_mod.beam_search(
