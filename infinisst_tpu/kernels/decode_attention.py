@@ -1,6 +1,14 @@
 """Pallas TPU kernel: fused rotate-on-read decode attention over the
 streaming KV cache.
 
+STATUS: experiment, not a production path.  The full A/B grid
+(tools_ab_attention.py, docs/ab_attention.json) shows XLA's attention
+pipeline winning EVERY (cache 1280-16384) x (pool 1-16) cell by
+1.2-2.2x at the 8B geometry, so the decode step runs the XLA einsum path
+(models/llama.py:142-153).  Kept as a tested, hardware-correct reference
+for the Pallas programming model and as a fallback should a future
+backend shift the balance.
+
 The streaming LLM stores *unrotated* keys (rotate-on-read keeps positions
 bounded under eviction, ref: model/patches/patch_llm.py:53-76).  The XLA
 path materialises a rotated copy of the whole cache every step; this kernel
