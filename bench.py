@@ -93,16 +93,18 @@ def main():
         k = jax.random.PRNGKey(0)
         lm_head_int8 = "--bf16-head" not in sys.argv
         act_int8 = "--no-act-int8" not in sys.argv
+        group128 = "--group128" in sys.argv  # per-group scales (quality belt)
         params = {
             "w2v2": W.init_params(jax.random.fold_in(k, 0), cfg.w2v2, dtype),
             "adapter": A.init_params(jax.random.fold_in(k, 1), cfg.adapter, dtype),
             "llama": init_quantized_llama(
                 jax.random.fold_in(k, 2), cfg.llama,
                 act_int8=act_int8, lm_head_int8=lm_head_int8,
+                group_size=128 if group128 else 0,
             ),
         }
         quantize = False  # already quantized at init
-        tag = "8b_int8"
+        tag = "8b_int8" + ("_g128" if group128 else "")
     else:
         cfg = bench_1chip_config()
         dtype = jnp.bfloat16

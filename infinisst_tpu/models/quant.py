@@ -123,15 +123,19 @@ def _quantize_stacked(
 
 
 def init_quantized_llama(key, cfg, dtype=None, embed_dtype=None,
-                         act_int8=False, lm_head_int8=False):
+                         act_int8=False, lm_head_int8=False,
+                         group_size=0):
     """Random-init llama params directly in int8 (projections) + bf16
     (embed/lm_head/norms) — avoids staging the full bf16 model in HBM,
     which matters when the quantized model barely fits the chip (8B on one
-    16 GB v5e)."""
+    16 GB v5e).  ``group_size`` initialises per-(input-group, out-channel)
+    scales (the W8A8 quality-belt layout; requires act_int8)."""
     import math
 
     import jax
 
+    if group_size:
+        assert act_int8, "group_size requires act_int8"
     embed_dtype = embed_dtype or jnp.bfloat16
     D, I = cfg.hidden_size, cfg.intermediate_size
     H, KV, Dh, L, V = (
@@ -143,8 +147,13 @@ def init_quantized_llama(key, cfg, dtype=None, embed_dtype=None,
 
     def qmat(k, shape):
         q = jax.random.randint(k, (L,) + shape, -127, 128, jnp.int8)
-        scale = jnp.full((L, shape[-1]), 1.0 / (127 * math.sqrt(shape[0])),
-                         jnp.float32)
+        sval = 1.0 / (127 * math.sqrt(shape[0]))
+        if group_size:
+            scale = jnp.full(
+                (L, shape[0] // group_size, shape[-1]), sval, jnp.float32
+            )
+        else:
+            scale = jnp.full((L, shape[-1]), sval, jnp.float32)
         return {"q": q, skey: scale}
 
     ks = jax.random.split(key, 10)
@@ -168,8 +177,13 @@ def init_quantized_llama(key, cfg, dtype=None, embed_dtype=None,
         # is not even 128-divisible); pad scales are zero and llama.py
         # slices logits back to vocab_size
         Vp = ((V + 511) // 512) * 512
-        scale = jnp.full((Vp,), 1.0 / (127 * math.sqrt(D)), jnp.float32)
-        scale = scale.at[V:].set(0.0)
+        sval = 1.0 / (127 * math.sqrt(D))
+        if group_size:
+            scale = jnp.full((D // group_size, Vp), sval, jnp.float32)
+            scale = scale.at[:, V:].set(0.0)
+        else:
+            scale = jnp.full((Vp,), sval, jnp.float32)
+            scale = scale.at[V:].set(0.0)
         lm_head = {
             "q": jax.random.randint(ks[8], (D, Vp), -127, 128, jnp.int8),
             "scale_a8": scale,

@@ -166,3 +166,26 @@ def test_grouped_w8a8_matches_fp_closely():
     err_g = np.abs(run(qg) - full).mean()
     assert err_g <= err_c * 1.05, (err_g, err_c)
     assert err_g < np.abs(full).std()  # sane overall error
+
+
+def test_init_quantized_llama_group_shapes():
+    """Grouped random-init layout matches the quantize_llama_params
+    layout (scale ndim selects the mm dispatch) and runs decode."""
+    from infinisst_tpu.models.quant import init_quantized_llama
+
+    cfg = LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=256, num_layers=2,
+        num_heads=2, num_kv_heads=2, head_dim=128, rope_scaling=False,
+    )
+    p = init_quantized_llama(
+        jax.random.PRNGKey(0), cfg, act_int8=True, lm_head_int8=True,
+        group_size=128,
+    )
+    assert p["layers"]["wq"]["scale_a8"].shape == (2, 2, 256)
+    assert p["lm_head"]["scale_a8"].shape == (2, 512)
+    params = {"embed": p["embed"], "layers": p["layers"],
+              "final_ln": p["final_ln"], "lm_head": p["lm_head"]}
+    toks = jax.random.randint(jax.random.PRNGKey(1), (1, 5), 0, 256)
+    st = init_decoder_state(2, 1, 8, 2, 128, dtype=jnp.bfloat16)
+    lg, _ = L.decode_step(params, cfg, st, L.embed(params, toks))
+    assert np.isfinite(np.asarray(lg, np.float32)).all()
