@@ -69,7 +69,9 @@ def main():
             if "--multipliers" in sys.argv else None
         )
         return bench_serve(multiplier, n_chunks, pool=pool, model=model,
-                           beam=beam, multipliers=mixed)
+                           beam=beam, multipliers=mixed,
+                           speculative="--speculative" in sys.argv,
+                           spec_accept_all="--spec-accept-all" in sys.argv)
     if mode == "train":
         return bench_train(multiplier, n_steps=n_chunks)
     if mode == "streamatt":
@@ -288,7 +290,8 @@ def main():
 
 
 def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
-                model: str = "bench", beam: int = 4, multipliers=None):
+                model: str = "bench", beam: int = 4, multipliers=None,
+                speculative: bool = False, spec_accept_all: bool = False):
     """Batched multi-client throughput: N concurrent streams through the
     serving engine; reports decode tokens/sec/chip and per-stream RTF.
     Default beam=4 — the reference's quality configuration
@@ -335,10 +338,13 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
         tag = "1chip"
     tok = StubTokenizer(cfg.llama.vocab_size)
     builders = {("English", "German"): PromptBuilder(tok, cfg.tokens)}
+    if speculative:
+        beam = 1  # spec serving is greedy-exact
     eng = ServingEngine(
         params, cfg, StreamConfig(), builders, pool_size=pool,
         multiplier=multiplier, dtype=dtype, beam=beam,
         multipliers=multipliers,
+        speculative=speculative, spec_accept_all=spec_accept_all,
     )
     rng = np.random.RandomState(0)
     if multipliers:
@@ -401,16 +407,27 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
     wall = time.perf_counter() - t0
     n_tok = sum(len(eng.slots[s_].target_ids) for s_ in slots) - n_tok0
     audio_s = n_chunks * chunk / 16000.0  # per stream
+    dmode = (
+        f"spec{'AA' if spec_accept_all else ''}"
+        f"d{eng.spec_draft_layers}k{eng.spec_k}"
+        if speculative else f"beam{beam}"
+    )
     result = {
-        "metric": f"serve_decode_tok_per_s_pool{pool}_beam{beam}_m{multiplier}_{tag}",
+        "metric": f"serve_decode_tok_per_s_pool{pool}_{dmode}_m{multiplier}_{tag}",
         "value": round(n_tok / wall, 2),
         "unit": "tok/s/chip",
         "vs_baseline": round((n_tok / wall) / 30.0, 3),  # target >=30 tok/s/chip
     }
+    if speculative:
+        st = eng.spec_stats
+        result["accept_rate"] = round(
+            st["accepted"] / max(st["drafted"], 1), 4
+        )
     print(json.dumps(result))
     print(
         f"pool={pool} chunks={n_chunks} wall={wall:.2f}s tokens={n_tok} "
-        f"per-stream RTF={wall/audio_s:.3f}",
+        f"per-stream RTF={wall/audio_s:.3f} "
+        + (f"spec={eng.spec_stats}" if speculative else ""),
         file=sys.stderr,
     )
 

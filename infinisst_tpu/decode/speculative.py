@@ -237,3 +237,176 @@ def speculative_greedy(
         tokens=tokens, n_tokens=n_out, hit_eos=hit_eos, rounds=rounds,
         drafted=drafted, accepted=accepted, dec=dec,
     )
+
+
+def batched_speculative_greedy(
+    params,
+    cfg: LlamaConfig,
+    dec0: DecoderState,  # batch B — per-slot caches after chunk prefill
+    first_logits: jnp.ndarray,  # (B, V) logits at each row's last position
+    ids: jnp.ndarray,  # (B, Tp) per-row prompt ids (padded)
+    prompt_lens: jnp.ndarray,  # (B,) int32
+    history: jnp.ndarray,  # (B, Lh) per-row cross-chunk target ids
+    history_len: jnp.ndarray,  # (B,) int32
+    spec: SpecSpec,
+    row_active: jnp.ndarray,  # (B,) bool — inactive rows emit nothing
+    row_max_new: Optional[jnp.ndarray] = None,  # (B,) per-row caps <= G
+    encoder_ngram_size: int = 0,
+    suppress_mask: Optional[jnp.ndarray] = None,
+):
+    """Pooled layer-skip speculation: every slot drafts and verifies in
+    lockstep, so the pool shares ONE draft stream and ONE verify stream
+    per round across all slots AND all verified positions.  Emitted
+    tokens per row are exactly the engine's sequential batched-greedy
+    output (EOS not emitted, per-row cap); accepted tokens' K/V commit
+    during verification.  Returns (tokens (B, G), n_tokens (B,), dec,
+    rounds, drafted, accepted)."""
+    G = spec.max_new_tokens
+    k = spec.draft_k
+    d = spec.draft_layers
+    B, V = first_logits.shape
+    Tp = ids.shape[1]
+    Tbuf = Tp + G + k
+    if row_max_new is None:
+        row_max_new = jnp.full((B,), G, jnp.int32)
+
+    cfg_d = dataclasses.replace(cfg, num_layers=d)
+    params_d = {
+        "embed": params["embed"],
+        "layers": jax.tree.map(lambda a: a[:d], params["layers"]),
+        "final_ln": params["final_ln"],
+        "lm_head": params["lm_head"],
+    }
+
+    def process_argmax(logits, seq_buf, seq_len):
+        """(B, V) batched processors, engine greedy order
+        (serve/engine.py step body)."""
+        scores = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        scores = lp.repetition_penalty(
+            scores, seq_buf,
+            jnp.arange(Tbuf)[None] < seq_len[:, None],
+            spec.repetition_penalty,
+        )
+        scores = lp.no_repeat_ngram(
+            scores, seq_buf, seq_len, spec.no_repeat_ngram_size
+        )
+        if encoder_ngram_size > 0:
+            scores = lp.encoder_no_repeat_ngram(
+                scores, history, history_len, seq_buf, seq_len,
+                encoder_ngram_size,
+            )
+        if suppress_mask is not None:
+            scores = lp.suppress_tokens(scores, suppress_mask)
+        return jnp.argmax(scores, axis=-1).astype(jnp.int32)
+
+    seq_buf0 = jnp.concatenate(
+        [ids.astype(jnp.int32),
+         jnp.full((B, G + k), spec.pad_id, jnp.int32)], axis=1,
+    )
+    act0 = row_active.astype(bool)
+
+    def round_fn(state):
+        (dec, last_logits, seq_buf, seq_len, tokens, n_out, done,
+         rounds, drafted, accepted) = state
+
+        t1 = process_argmax(last_logits, seq_buf, seq_len)  # (B,)
+
+        sbuf1 = jax.vmap(lambda b, l, t: b.at[l].set(t))(seq_buf, seq_len, t1)
+        ddec = DecoderState(k=dec.k[:d], v=dec.v[:d], valid_len=dec.valid_len)
+
+        def draft_step(carry, _):
+            ddec, tok, sbuf, slen = carry
+            lg, ddec = llama_mod.decode_step(
+                params_d, cfg_d, ddec,
+                llama_mod.embed(params_d, tok[:, None]),
+            )
+            nxt = process_argmax(lg[:, -1, :V], sbuf, slen + 1)
+            sbuf = jax.vmap(lambda b, l, t: b.at[l + 1].set(t))(
+                sbuf, slen, nxt
+            )
+            return (ddec, nxt, sbuf, slen + 1), nxt
+
+        (_, _, _, _), drafts = jax.lax.scan(
+            draft_step, (ddec, t1, sbuf1, seq_len), None, length=k
+        )  # drafts (k, B)
+
+        toks_v = jnp.concatenate([t1[None], drafts]).T  # (B, k+1)
+        sbuf_v = jax.vmap(
+            lambda b, t, l: jax.lax.dynamic_update_slice(b, t, (l,))
+        )(seq_buf, toks_v, seq_len)
+
+        live = (~done) & act0
+        vmask = jnp.broadcast_to(
+            live[:, None], (B, k + 1)
+        ).astype(jnp.int32)
+        lg_v, dec_v = llama_mod.decode_step(
+            params, cfg, dec,
+            llama_mod.embed(params, toks_v), valid_mask=vmask,
+        )  # (B, k+1, V)
+
+        tn = []
+        for j in range(k + 1):
+            tn.append(
+                process_argmax(lg_v[:, j, :V], sbuf_v, seq_len + j + 1)
+            )
+        true_next = jnp.stack(tn, axis=1)  # (B, k+1)
+
+        if spec.accept_all:
+            a = jnp.full((B,), k, jnp.int32)
+        else:
+            match = true_next[:, :-1] == toks_v[:, 1:]  # (B, k)
+            a = jnp.where(
+                jnp.all(match, axis=1), k, jnp.argmin(match, axis=1)
+            ).astype(jnp.int32)
+
+        idx = jnp.arange(k + 1)[None]
+        eos_in = (toks_v == spec.eos_id) & (idx <= a[:, None])
+        first_eos = jnp.where(
+            jnp.any(eos_in, axis=1), jnp.argmax(eos_in, axis=1), k + 1
+        ).astype(jnp.int32)
+        room = (row_max_new - n_out).astype(jnp.int32)
+        n_r = jnp.minimum(jnp.minimum(a + 1, first_eos), room)
+        n_r = jnp.where(live, n_r, 0)
+        hit = jnp.any(eos_in, axis=1) & (
+            first_eos <= jnp.minimum(a, room)
+        ) & live
+
+        relt = jnp.arange(G)[None] - n_out[:, None]  # (B, G)
+        put = jnp.take_along_axis(
+            toks_v, jnp.clip(relt, 0, k), axis=1
+        )
+        tokens = jnp.where((relt >= 0) & (relt < n_r[:, None]), put, tokens)
+        rels = jnp.arange(Tbuf)[None] - seq_len[:, None]
+        puts = jnp.take_along_axis(toks_v, jnp.clip(rels, 0, k), axis=1)
+        seq_buf = jnp.where(
+            (rels >= 0) & (rels < n_r[:, None]), puts, seq_buf
+        )
+
+        dec = dec_v._replace(valid_len=dec.valid_len + n_r)
+        next_logits = jnp.take_along_axis(
+            lg_v[:, :, :V], jnp.maximum(n_r - 1, 0)[:, None, None], axis=1
+        )[:, 0].astype(jnp.float32)
+        next_logits = jnp.where(
+            live[:, None], next_logits, last_logits
+        )
+        n_out = n_out + n_r
+        done = done | hit | (n_out >= row_max_new)
+        return (
+            dec, next_logits, seq_buf, seq_len + n_r, tokens, n_out, done,
+            rounds + 1, drafted + jnp.where(live, k, 0),
+            accepted + jnp.maximum(n_r - 1, 0),
+        )
+
+    zb = jnp.zeros((B,), jnp.int32)
+    state0 = (
+        dec0, first_logits.astype(jnp.float32), seq_buf0,
+        prompt_lens.astype(jnp.int32),
+        jnp.full((B, G), spec.pad_id, jnp.int32), zb,
+        ~act0,  # inactive rows start done
+        jnp.zeros((), jnp.int32), zb, zb,
+    )
+    state = jax.lax.while_loop(
+        lambda s: jnp.any(~s[6]), round_fn, state0
+    )
+    (dec, _, _, _, tokens, n_out, _, rounds, drafted, accepted) = state
+    return tokens, n_out, dec, rounds, drafted, accepted

@@ -89,6 +89,10 @@ class ServingEngine:
         beam: int = 1,
         suppress_tokens=None,  # ids to ban (agents' --suppress-non-language)
         multipliers: Optional[tuple] = None,  # allowed per-slot multipliers
+        speculative: bool = False,  # layer-skip spec decode (beam=1 only)
+        spec_draft_layers: int = 8,
+        spec_k: int = 4,
+        spec_accept_all: bool = False,  # bench-only machinery ceiling
     ):
         self.params = params
         self.cfg = cfg
@@ -102,6 +106,16 @@ class ServingEngine:
         self.max_new = max_new_tokens or stream_cfg.max_new_tokens(m_max)
         self.dtype = dtype
         self.beam = beam
+        if speculative and beam != 1:
+            raise ValueError(
+                "speculative serving is greedy-exact; it requires beam=1"
+            )
+        self.speculative = speculative
+        self.spec_draft_layers = spec_draft_layers
+        self.spec_k = spec_k
+        self.spec_accept_all = spec_accept_all
+        self.spec_stats = {"rounds": 0, "drafted": 0, "accepted": 0,
+                           "emitted": 0}
 
         # padded per-tick geometry (rows at m < m_max carry fewer real
         # frames; a row sitting a tick out carries zero)
@@ -253,6 +267,40 @@ class ServingEngine:
             last = jnp.take_along_axis(
                 logits, (prompt_lens - 1)[:, None, None], axis=1
             )[:, 0]  # (B, V)
+
+            if self.speculative:
+                # pooled layer-skip speculation: one draft stream + one
+                # verify stream per round SHARED across all slots and all
+                # k+1 verified positions; emitted tokens are exactly the
+                # batched-greedy output (decode/speculative.py)
+                from infinisst_tpu.decode.speculative import (
+                    SpecSpec,
+                    batched_speculative_greedy,
+                )
+
+                sp = SpecSpec(
+                    max_new_tokens=max_new,
+                    eos_id=eos,
+                    pad_id=cfg.tokens.pad,
+                    draft_layers=self.spec_draft_layers,
+                    draft_k=self.spec_k,
+                    no_repeat_ngram_size=stream.no_repeat_ngram_size,
+                    repetition_penalty=stream.repetition_penalty,
+                    accept_all=self.spec_accept_all,
+                )
+                toks, n_tok, dec3, rounds, drafted, accepted = (
+                    batched_speculative_greedy(
+                        params["llama"], cfg.llama, dec2, last, ids,
+                        prompt_lens.astype(jnp.int32), hist, hist_len, sp,
+                        row_active, row_max_new=row_max_new,
+                        encoder_ngram_size=stream.no_repeat_ngram_size,
+                        suppress_mask=self._suppress,
+                    )
+                )
+                stats = jnp.stack(
+                    [rounds, drafted.sum(), accepted.sum(), n_tok.sum()]
+                )
+                return enc2, dec3, windows, toks, n_tok, stats
 
             if beam_n > 1:
                 # batched beam search over per-slot prefixes + in-jit
@@ -442,7 +490,7 @@ class ServingEngine:
             valid[i, : len(pr.ids)] = 1
             patch_starts[i] = pr.patch_start
 
-        enc2, dec2, self.windows, toks, n_tok = self._step_fn(
+        out = self._step_fn(
             self.params, self.enc_state, self.dec_state, self.windows,
             jnp.asarray(chunks), jnp.asarray(ids), jnp.asarray(valid),
             jnp.asarray(patch_starts), jnp.asarray(row_active),
@@ -450,8 +498,17 @@ class ServingEngine:
             jnp.asarray(row_frames), jnp.asarray(row_patches),
             jnp.asarray(row_max_new),
         )
+        if self.speculative:
+            enc2, dec2, self.windows, toks, n_tok, stats = out
+            toks, n_tok, stats = jax.device_get((toks, n_tok, stats))
+            for key_, v in zip(
+                ("rounds", "drafted", "accepted", "emitted"), stats
+            ):
+                self.spec_stats[key_] += int(v)
+        else:
+            enc2, dec2, self.windows, toks, n_tok = out
+            toks, n_tok = jax.device_get((toks, n_tok))
         self.enc_state, self.dec_state = enc2, dec2
-        toks, n_tok = jax.device_get((toks, n_tok))
 
         out: Dict[int, str] = {}
         for i, pr in prompts:

@@ -424,3 +424,63 @@ def test_engine_update_multiplier_mid_stream():
     assert lens[-1] > 0
     with pytest.raises(ValueError):
         eng.update_multiplier(s0, 5)
+
+
+@pytest.mark.slow
+def test_engine_speculative_matches_greedy():
+    """Pooled speculative serving (beam=1 + layer-skip draft) must emit
+    exactly the batched-greedy engine's tokens for every slot, for a
+    terrible (d=1) and a perfect (d=2 = full tiny model) draft, including
+    mixed multipliers."""
+    cfg = CFG.replace(tokens=small_special_tokens())
+    stream = StreamConfig(
+        max_cache_frames=96, max_llm_cache_tokens=120, llm_cache_capacity=256
+    )
+    tok = StubTokenizer(512, lo=10, hi=400)
+    builders = {
+        ("English", "German"): PromptBuilder(
+            tok, cfg.tokens, "English", "German"
+        ),
+    }
+    params = tiny_params()
+    rng = np.random.RandomState(11)
+    unit = stream.chunk_samples(1)
+    n_ticks = 4
+    a0 = rng.randn(n_ticks * unit).astype(np.float32) * 0.1
+    a1 = rng.randn(n_ticks * unit).astype(np.float32) * 0.1
+
+    def run(**kw):
+        eng = ServingEngine(
+            params, cfg, stream, builders, pool_size=2, multiplier=1,
+            dtype=jnp.float32, beam=1, multipliers=(1, 2), **kw,
+        )
+        s0 = eng.open_stream("c0", multiplier=1)
+        s1 = eng.open_stream("c1", multiplier=2)
+        for t in range(n_ticks):
+            fin = t == n_ticks - 1
+            eng.push_audio(s0, a0[t * unit: (t + 1) * unit], finished=fin)
+            eng.push_audio(s1, a1[t * unit: (t + 1) * unit], finished=fin)
+            eng.tick()
+        return (
+            list(eng.slots[s0].target_ids), list(eng.slots[s1].target_ids),
+            eng,
+        )
+
+    g0, g1, _ = run()
+    for d in (1, 2):
+        t0, t1, eng = run(speculative=True, spec_draft_layers=d, spec_k=3)
+        assert t0 == g0, (d, t0, g0)
+        assert t1 == g1, (d, t1, g1)
+        assert eng.spec_stats["emitted"] == len(g0) + len(g1)
+        if d == 2:  # perfect draft accepts whatever it proposed
+            assert eng.spec_stats["accepted"] == min(
+                eng.spec_stats["accepted"], eng.spec_stats["drafted"]
+            )
+            assert eng.spec_stats["rounds"] > 0
+    assert len(g0) > 0 and len(g1) > 0
+
+    with pytest.raises(ValueError):
+        ServingEngine(
+            params, cfg, stream, builders, pool_size=2, beam=2,
+            speculative=True,
+        )
