@@ -582,7 +582,7 @@ class InfiniSSTAgent(SpeechToTextAgent):
             self.spec_rounds += r
             self.spec_drafted += dr
             self.spec_accepted += ac
-            self.spec_emitted += int(packed[0])
+            self.spec_emitted += n_emit  # what the user actually saw
         else:
             self.pend_n_host = n_emit
 

@@ -100,8 +100,12 @@ class ServingEngine:
         self.builders = builders
         self.pool = pool_size
         self.m = multiplier  # default multiplier for new slots
-        self.multipliers = tuple(sorted(set(multipliers or (multiplier,))))
-        m_max = max(self.multipliers + (multiplier,))
+        # the default is always allowed — a client that opens without
+        # requesting a multiplier gets self.m, which must be servable
+        self.multipliers = tuple(
+            sorted(set(multipliers or ()) | {multiplier})
+        )
+        m_max = max(self.multipliers)
         self.m_max = m_max
         self.max_new = max_new_tokens or stream_cfg.max_new_tokens(m_max)
         self.dtype = dtype
@@ -288,7 +292,7 @@ class ServingEngine:
                     repetition_penalty=stream.repetition_penalty,
                     accept_all=self.spec_accept_all,
                 )
-                toks, n_tok, dec3, rounds, drafted, accepted = (
+                toks, n_tok, _hit, dec3, rounds, drafted, accepted = (
                     batched_speculative_greedy(
                         params["llama"], cfg.llama, dec2, last, ids,
                         prompt_lens.astype(jnp.int32), hist, hist_len, sp,

@@ -467,17 +467,20 @@ def test_engine_speculative_matches_greedy():
         )
 
     g0, g1, _ = run()
+    stats = {}
     for d in (1, 2):
         t0, t1, eng = run(speculative=True, spec_draft_layers=d, spec_k=3)
         assert t0 == g0, (d, t0, g0)
         assert t1 == g1, (d, t1, g1)
         assert eng.spec_stats["emitted"] == len(g0) + len(g1)
-        if d == 2:  # perfect draft accepts whatever it proposed
-            assert eng.spec_stats["accepted"] == min(
-                eng.spec_stats["accepted"], eng.spec_stats["drafted"]
-            )
-            assert eng.spec_stats["rounds"] > 0
+        stats[d] = dict(eng.spec_stats)
     assert len(g0) > 0 and len(g1) > 0
+    # the perfect (d = num_layers) draft accepts more and needs fewer
+    # verify rounds than the 1-layer draft for the SAME emissions; on the
+    # 512-vocab random model the 1-layer draft accepts (near) nothing
+    assert stats[2]["accepted"] > stats[1]["accepted"]
+    assert stats[2]["rounds"] < stats[1]["rounds"]
+    assert stats[1]["accepted"] <= stats[1]["drafted"] // 4
 
     with pytest.raises(ValueError):
         ServingEngine(

@@ -38,15 +38,17 @@ def setup(seed=0, plen=9, cap=64):
     return params, prompt, dec, logits[0, -1]
 
 
-def seq_greedy(params, prompt, dec, first_logits, eos_id, hist, hist_len):
+def seq_greedy(params, prompt, dec, first_logits, eos_id, hist, hist_len,
+               steps=None):
     """Independent sequential reference: same processor order as
     decode/beam.py process_scores."""
-    Tbuf = len(prompt) + G
+    steps = steps or G
+    Tbuf = len(prompt) + steps
     seq = list(np.asarray(prompt))
     out = []
     logits = first_logits
     hit = False
-    for _ in range(G):
+    for _ in range(steps):
         buf = np.full((Tbuf,), PAD, np.int32)
         buf[: len(seq)] = seq
         scores = jax.nn.log_softmax(logits.astype(jnp.float32))[None]
@@ -192,3 +194,40 @@ def test_spec_accept_all_machinery():
     )
     assert int(res.n_tokens) == G
     assert int(res.rounds) == -(-G // 4)  # ceil(12/4) = 3
+
+
+def test_spec_eos_exactly_at_cap_is_not_hit():
+    """EOS landing at the first position BEYOND the generation cap must
+    NOT set hit_eos: the sequential loop exhausts range(G) without ever
+    computing that step (the agent's n_emit rule depends on this flag, so
+    a false hit would emit a token greedy never shows).  Engineered via a
+    perfect draft (d=L) so the final verify round's window reaches past
+    the cap."""
+    params, prompt, dec0, first = setup(9)
+    hist = jnp.full((16,), PAD, jnp.int32)
+    hlen = jnp.zeros((), jnp.int32)
+
+    # extended reference: the token at emission index G (first EXCLUDED)
+    ref_ext, _ = seq_greedy(
+        params, prompt, jax.tree.map(lambda a: a.copy(), dec0), first,
+        -1, hist, hlen, steps=G + 2,
+    )
+    assert len(ref_ext) >= G + 1
+    eos = ref_ext[G]  # would be the (G+1)-th greedy token
+    # guard: the chosen eos id must not appear inside the emitted window
+    # (else it truncates earlier and the boundary case never forms)
+    if eos in ref_ext[:G]:
+        pytest.skip("eos id re-occurs inside the window for this seed")
+
+    spec = SpecSpec(
+        max_new_tokens=G, eos_id=eos, pad_id=PAD, draft_layers=4,
+        draft_k=4, no_repeat_ngram_size=NGRAM, repetition_penalty=REP,
+    )
+    res = speculative_greedy(
+        params, CFG, dec0, first, prompt,
+        jnp.asarray(len(prompt), jnp.int32), hist, hlen, spec,
+        encoder_ngram_size=NGRAM,
+    )
+    assert int(res.n_tokens) == G
+    assert not bool(res.hit_eos)
+    assert res.tokens[:G].tolist() == ref_ext[:G]
