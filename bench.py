@@ -71,7 +71,12 @@ def main():
         return bench_serve(multiplier, n_chunks, pool=pool, model=model,
                            beam=beam, multipliers=mixed,
                            speculative="--speculative" in sys.argv,
-                           spec_accept_all="--spec-accept-all" in sys.argv)
+                           spec_accept_all="--spec-accept-all" in sys.argv,
+                           spec_head_vocab=(
+                               int(sys.argv[sys.argv.index(
+                                   "--spec-head-vocab") + 1])
+                               if "--spec-head-vocab" in sys.argv else 0
+                           ))
     if mode == "train":
         return bench_train(multiplier, n_steps=n_chunks)
     if mode == "streamatt":
@@ -139,6 +144,10 @@ def main():
                 if "--spec-k" in sys.argv else 4
             ),
             spec_accept_all="--spec-accept-all" in sys.argv,
+            spec_head_vocab=(
+                int(sys.argv[sys.argv.index("--spec-head-vocab") + 1])
+                if "--spec-head-vocab" in sys.argv else 0
+            ),
         )
     opts = InfiniSSTOptions(
         latency_multiplier=multiplier,
@@ -241,7 +250,10 @@ def main():
     if spec_on:
         mode_tag = "spec" + (
             "_acceptall" if opts.spec_accept_all else ""
-        ) + f"_d{opts.spec_draft_layers}k{opts.spec_k}"
+        ) + f"_d{opts.spec_draft_layers}k{opts.spec_k}" + (
+            f"_hv{opts.spec_head_vocab // 1000}k"
+            if opts.spec_head_vocab else ""
+        )
         acc = (
             agent.spec_accepted / agent.spec_drafted
             if agent.spec_drafted else 0.0
@@ -291,7 +303,8 @@ def main():
 
 def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
                 model: str = "bench", beam: int = 4, multipliers=None,
-                speculative: bool = False, spec_accept_all: bool = False):
+                speculative: bool = False, spec_accept_all: bool = False,
+                spec_head_vocab: int = 0):
     """Batched multi-client throughput: N concurrent streams through the
     serving engine; reports decode tokens/sec/chip and per-stream RTF.
     Default beam=4 — the reference's quality configuration
@@ -345,6 +358,7 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
         multiplier=multiplier, dtype=dtype, beam=beam,
         multipliers=multipliers,
         speculative=speculative, spec_accept_all=spec_accept_all,
+        spec_head_vocab=spec_head_vocab,
     )
     rng = np.random.RandomState(0)
     if multipliers:
@@ -410,6 +424,7 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
     dmode = (
         f"spec{'AA' if spec_accept_all else ''}"
         f"d{eng.spec_draft_layers}k{eng.spec_k}"
+        + (f"hv{spec_head_vocab // 1000}k" if spec_head_vocab else "")
         if speculative else f"beam{beam}"
     )
     result = {

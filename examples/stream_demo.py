@@ -47,6 +47,12 @@ def main():
     ap.add_argument("--multiplier", type=int, default=1)
     ap.add_argument("--max-llm-cache-size", type=int, default=120)
     ap.add_argument("--seed", type=int, default=0)
+    # speculative greedy decode (beam is ignored when set); --spec-head-vocab
+    # drives the shortlist draft head (exact either way)
+    ap.add_argument("--speculative", action="store_true")
+    ap.add_argument("--spec-draft-layers", type=int, default=1)
+    ap.add_argument("--spec-k", type=int, default=4)
+    ap.add_argument("--spec-head-vocab", type=int, default=0)
     args = ap.parse_args()
 
     import jax
@@ -70,6 +76,10 @@ def main():
         max_llm_cache_size=args.max_llm_cache_size,
         no_repeat_ngram_lookback=32,
         rtf_timing=True,
+        speculative=args.speculative,
+        spec_draft_layers=args.spec_draft_layers,
+        spec_k=args.spec_k,
+        spec_head_vocab=args.spec_head_vocab,
     )
     agent = InfiniSSTAgent(params, cfg, stream, builder, opts,
                            param_dtype=jnp.float32)

@@ -72,6 +72,8 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--speculative", action="store_true")
     p.add_argument("--spec-draft-layers", type=int, default=8)
     p.add_argument("--spec-k", type=int, default=4)
+    # shortlist draft head width (0 = full lm_head); exact either way
+    p.add_argument("--spec-head-vocab", type=int, default=0)
     p.add_argument("--do-sample", action="store_true")
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top-k", type=int, default=0)
@@ -214,6 +216,7 @@ def build_agent(args):
         speculative=args.speculative,
         spec_draft_layers=args.spec_draft_layers,
         spec_k=args.spec_k,
+        spec_head_vocab=args.spec_head_vocab,
         do_sample=args.do_sample,
         temperature=args.temperature,
         top_k=args.top_k,

@@ -93,6 +93,11 @@ class InfiniSSTOptions:
     spec_draft_layers: int = 8
     spec_k: int = 4
     spec_accept_all: bool = False  # bench-only machinery ceiling
+    # shortlist draft head: the draft scores only the first N vocab ids
+    # (BPE ids are merge-frequency-ordered) through a column-sliced lm_head
+    # — at 8B the full head dominates draft cost.  0 = full head.  Exact
+    # either way (decode/speculative.make_draft_head).
+    spec_head_vocab: int = 0
 
 
 class InfiniSSTAgent(SpeechToTextAgent):
@@ -114,6 +119,16 @@ class InfiniSSTAgent(SpeechToTextAgent):
 
             params = dict(params)
             params["llama"] = quantize_llama_params(params["llama"])
+        if opts.speculative and opts.spec_head_vocab:
+            from infinisst_tpu.decode.speculative import make_draft_head
+
+            assert opts.spec_head_vocab < model_cfg.llama.vocab_size
+            params = dict(params)
+            # sliced ONCE at init (device op); rides the params pytree into
+            # the jitted chunk fn so it is an input, not a graph constant
+            params["spec_draft_head"] = make_draft_head(
+                params["llama"]["lm_head"], opts.spec_head_vocab
+            )
         self.params = params
         self.cfg = model_cfg
         self.stream = stream_cfg
@@ -357,6 +372,7 @@ class InfiniSSTAgent(SpeechToTextAgent):
                     sp_spec,
                     encoder_ngram_size=enc_ng,
                     suppress_mask=suppress,
+                    draft_head=params.get("spec_draft_head"),
                 )
             else:
                 res = beam_mod.beam_search(

@@ -57,6 +57,55 @@ class SpecSpec(NamedTuple):
     # the DRAFT's sequence, not greedy-exact — never use in production)
 
 
+def make_draft_head(lm_head, head_vocab: int, ids=None):
+    """Slice a cheap DRAFT-ONLY lm_head: ``head_vocab`` vocabulary columns
+    of the target head (a shortlist).  The draft then scores only the
+    shortlist (its scores are scattered back into full-vocab space before
+    the shared processors), so the per-draft-step head stream shrinks from
+    V columns to ``head_vocab`` columns — at 8B-int8 the full 0.53 GB head
+    dominates draft cost (ARCHITECTURE.md optimization log); a 16k
+    shortlist streams 1/8 of it.  Exactness is untouched: the verify
+    forward uses the full head, so emitted tokens remain exactly
+    sequential processed-greedy — a shortlist miss only costs acceptance.
+
+    ``ids`` defaults to the first ``head_vocab`` token ids: BPE vocabularies
+    (incl. Llama's) are merge-ordered, i.e. roughly frequency-ordered, so
+    the id-prefix is a natural high-coverage shortlist without needing
+    corpus statistics.  Pass corpus-ranked ids for a tuned shortlist.
+
+    Handles every head layout quantize_llama_params produces: bf16 (D, V),
+    W8A8 {'q','scale_a8'(V,)} and grouped {'q','scale_a8'(G, V)}, and
+    weight-only {'q','scale'(V,)}.  int8 layouts are padded to a
+    512-multiple of columns with zero scales (pad logits are sliced off by
+    the draft cfg's vocab_size, mirroring llama.py's handling).
+
+    Returns {'w': sliced head, 'ids': (head_vocab,) int32} for the
+    ``draft_head`` argument of the speculative decoders."""
+    if ids is None:
+        ids = jnp.arange(head_vocab, dtype=jnp.int32)
+    else:
+        ids = jnp.asarray(ids, jnp.int32)
+        assert ids.shape == (head_vocab,), (ids.shape, head_vocab)
+
+    def cols(a, pad_cols):
+        out = jnp.take(a, ids, axis=-1)
+        if pad_cols:
+            pad = [(0, 0)] * (a.ndim - 1) + [(0, pad_cols)]
+            out = jnp.pad(out, pad)
+        return out
+
+    if isinstance(lm_head, dict):
+        vp = ((head_vocab + 511) // 512) * 512 - head_vocab
+        skey = "scale_a8" if "scale_a8" in lm_head else "scale"
+        w = {
+            "q": cols(lm_head["q"], vp),
+            skey: cols(lm_head[skey], vp),
+        }
+    else:
+        w = cols(lm_head, 0)
+    return {"w": w, "ids": ids}
+
+
 class SpecResult(NamedTuple):
     tokens: jnp.ndarray  # (G,) emitted tokens (pad-filled)
     n_tokens: jnp.ndarray  # scalar int32 (EOS excluded)
@@ -81,6 +130,7 @@ def batched_speculative_greedy(
     row_max_new: Optional[jnp.ndarray] = None,  # (B,) per-row caps <= G
     encoder_ngram_size: int = 0,
     suppress_mask: Optional[jnp.ndarray] = None,
+    draft_head: Optional[dict] = None,  # make_draft_head output (shortlist)
 ):
     """Pooled layer-skip speculation: every slot drafts and verifies in
     lockstep, so the pool shares ONE draft stream and ONE verify stream
@@ -110,13 +160,20 @@ def batched_speculative_greedy(
     if row_max_new is None:
         row_max_new = jnp.full((B,), G, jnp.int32)
 
-    cfg_d = dataclasses.replace(cfg, num_layers=d)
     params_d = {
         "embed": params["embed"],
         "layers": jax.tree.map(lambda a: a[:d], params["layers"]),
         "final_ln": params["final_ln"],
         "lm_head": params["lm_head"],
     }
+    if draft_head is None:
+        cfg_d = dataclasses.replace(cfg, num_layers=d)
+        head_ids = None
+    else:
+        head_ids = draft_head["ids"]
+        Vs = head_ids.shape[0]
+        cfg_d = dataclasses.replace(cfg, num_layers=d, vocab_size=Vs)
+        params_d["lm_head"] = draft_head["w"]
 
     def process_argmax(logits, seq_buf, seq_len):
         """(B, V) batched processors, the greedy order shared by the beam
@@ -164,7 +221,16 @@ def batched_speculative_greedy(
                 params_d, cfg_d, ddec,
                 llama_mod.embed(params_d, tok[:, None]),
             )
-            nxt = process_argmax(lg[:, -1, :V], sbuf, slen + 1)
+            if head_ids is None:
+                scores = lg[:, -1, :V]
+            else:
+                # scatter the shortlist scores into full-vocab space so the
+                # shared processors (penalties, bans, suppress) see real
+                # token ids; off-shortlist tokens sit at -1e9 and can never
+                # be drafted (a miss costs acceptance, never correctness)
+                scores = jnp.full((B, V), -1e9, lg.dtype)
+                scores = scores.at[:, head_ids].set(lg[:, -1, :Vs])
+            nxt = process_argmax(scores, sbuf, slen + 1)
             sbuf = jax.vmap(lambda b, l, t: b.at[l + 1].set(t))(
                 sbuf, slen, nxt
             )
@@ -276,6 +342,7 @@ def speculative_greedy(
     spec: SpecSpec,
     encoder_ngram_size: int = 0,
     suppress_mask: Optional[jnp.ndarray] = None,
+    draft_head: Optional[dict] = None,
 ) -> SpecResult:
     """Single-stream wrapper over :func:`batched_speculative_greedy`
     (B=1) — one copy of the accept/emit arithmetic lives in the batched
@@ -289,6 +356,7 @@ def speculative_greedy(
             row_active=jnp.ones((1,), bool),
             encoder_ngram_size=encoder_ngram_size,
             suppress_mask=suppress_mask,
+            draft_head=draft_head,
         )
     )
     return SpecResult(

@@ -93,7 +93,18 @@ class ServingEngine:
         spec_draft_layers: int = 8,
         spec_k: int = 4,
         spec_accept_all: bool = False,  # bench-only machinery ceiling
+        spec_head_vocab: int = 0,  # shortlist draft head width (0 = full)
     ):
+        if speculative and spec_head_vocab:
+            from infinisst_tpu.decode.speculative import make_draft_head
+
+            assert spec_head_vocab < cfg.llama.vocab_size
+            params = dict(params)
+            # sliced ONCE here; rides the params pytree into the jitted
+            # tick so it is an input, not a baked graph constant
+            params["spec_draft_head"] = make_draft_head(
+                params["llama"]["lm_head"], spec_head_vocab
+            )
         self.params = params
         self.cfg = cfg
         self.stream = stream_cfg
@@ -299,6 +310,7 @@ class ServingEngine:
                         row_active, row_max_new=row_max_new,
                         encoder_ngram_size=stream.no_repeat_ngram_size,
                         suppress_mask=self._suppress,
+                        draft_head=params.get("spec_draft_head"),
                     )
                 )
                 stats = jnp.stack(

@@ -482,6 +482,16 @@ def test_engine_speculative_matches_greedy():
     assert stats[2]["rounds"] < stats[1]["rounds"]
     assert stats[1]["accepted"] <= stats[1]["drafted"] // 4
 
+    # shortlist draft head (spec_head_vocab): the draft scores only the
+    # first 64 of 512 vocab columns; emitted tokens must still be exactly
+    # the greedy pool's (a shortlist miss costs acceptance, never tokens)
+    t0, t1, eng = run(
+        speculative=True, spec_draft_layers=2, spec_k=3, spec_head_vocab=64
+    )
+    assert t0 == g0, (t0, g0)
+    assert t1 == g1, (t1, g1)
+    assert eng.spec_stats["emitted"] == len(g0) + len(g1)
+
     with pytest.raises(ValueError):
         ServingEngine(
             params, cfg, stream, builders, pool_size=2, beam=2,

@@ -196,6 +196,110 @@ def test_spec_accept_all_machinery():
     assert int(res.rounds) == -(-G // 4)  # ceil(12/4) = 3
 
 
+@pytest.mark.parametrize("head_vocab", [32, 96])
+def test_spec_draft_head_exact(head_vocab):
+    """A shortlist draft head (the draft scores only ``head_vocab`` vocab
+    columns) must not change emitted tokens for ANY shortlist — a miss
+    only costs acceptance, never correctness, because verify uses the
+    full head."""
+    from infinisst_tpu.decode.speculative import make_draft_head
+
+    params, prompt, dec0, first = setup(0)
+    hist = jnp.full((16,), PAD, jnp.int32)
+    hlen = jnp.zeros((), jnp.int32)
+    ref, _ = seq_greedy(
+        params, prompt, jax.tree.map(lambda a: a.copy(), dec0), first,
+        -1, hist, hlen,
+    )
+    spec = SpecSpec(
+        max_new_tokens=G, eos_id=-1, pad_id=PAD, draft_layers=2,
+        draft_k=4, no_repeat_ngram_size=NGRAM, repetition_penalty=REP,
+    )
+    dh = make_draft_head(params["lm_head"], head_vocab)
+    res = speculative_greedy(
+        params, CFG, dec0, first, prompt,
+        jnp.asarray(len(prompt), jnp.int32), hist, hlen, spec,
+        encoder_ngram_size=NGRAM, draft_head=dh,
+    )
+    got = res.tokens[: int(res.n_tokens)].tolist()
+    assert got == ref, (head_vocab, got, ref)
+    assert int(res.dec.valid_len[0]) == len(prompt) + len(got)
+
+
+def test_spec_draft_head_adversarial_shortlist():
+    """A shortlist engineered to MISS every greedy token still yields the
+    exact greedy sequence (pure-verify regime: <=1 acceptance per round is
+    possible but correctness is untouched)."""
+    from infinisst_tpu.decode.speculative import make_draft_head
+
+    params, prompt, dec0, first = setup(1)
+    hist = jnp.full((16,), PAD, jnp.int32)
+    hlen = jnp.zeros((), jnp.int32)
+    ref, _ = seq_greedy(
+        params, prompt, jax.tree.map(lambda a: a.copy(), dec0), first,
+        -1, hist, hlen,
+    )
+    bad = [i for i in range(CFG.vocab_size) if i not in set(ref)][:8]
+    spec = SpecSpec(
+        max_new_tokens=G, eos_id=-1, pad_id=PAD, draft_layers=4,
+        draft_k=3, no_repeat_ngram_size=NGRAM, repetition_penalty=REP,
+    )
+    dh = make_draft_head(params["lm_head"], 8, ids=jnp.asarray(bad))
+    res = speculative_greedy(
+        params, CFG, dec0, first, prompt,
+        jnp.asarray(len(prompt), jnp.int32), hist, hlen, spec,
+        encoder_ngram_size=NGRAM, draft_head=dh,
+    )
+    got = res.tokens[: int(res.n_tokens)].tolist()
+    assert got == ref
+
+
+def test_make_draft_head_layouts_and_gather_equivalence():
+    """All three lm_head layouts slice correctly and the sliced head's
+    scores equal a column-gather of the full head's scores (activation
+    quantization depends only on the input row, so int8 layouts gather
+    exactly)."""
+    from infinisst_tpu.decode.speculative import make_draft_head
+    from infinisst_tpu.models import quant
+
+    key = jax.random.PRNGKey(0)
+    D, V, HV = 64, 600, 40  # V deliberately not a 512 multiple
+    w = jax.random.normal(key, (D, V), jnp.float32)
+    y = jax.random.normal(jax.random.PRNGKey(1), (3, D), jnp.float32)
+    ids = jax.random.permutation(jax.random.PRNGKey(2), V)[:HV]
+
+    # bf16/fp32 layout: plain column gather, no padding
+    dh = make_draft_head(w, HV, ids=ids)
+    assert dh["w"].shape == (D, HV)
+    np.testing.assert_allclose(
+        np.asarray(quant.mm(y, dh["w"])),
+        np.asarray(quant.mm(y, w)[:, ids]), rtol=1e-5, atol=1e-5,
+    )
+
+    # W8A8 per-channel: scales gather with the columns; zero pad to 512
+    q, s = quant.quantize_weight(w, axis=0)
+    full = {"q": q, "scale_a8": s.astype(jnp.float32)}
+    dh = make_draft_head(full, HV, ids=ids)
+    assert dh["w"]["q"].shape == (D, 512)
+    assert dh["w"]["scale_a8"].shape == (512,)
+    assert float(jnp.abs(dh["w"]["scale_a8"][HV:]).max()) == 0.0
+    np.testing.assert_allclose(
+        np.asarray(quant.mm(y, dh["w"])[:, :HV]),
+        np.asarray(quant.mm(y, full)[:, ids]), rtol=1e-5, atol=1e-5,
+    )
+
+    # W8A8 grouped (quality belt): (G, V) scales gather on the last axis
+    qg, sg = quant._quantize_grouped(w, 32)
+    fullg = {"q": qg, "scale_a8": sg.astype(jnp.float32)}
+    dh = make_draft_head(fullg, HV, ids=ids)
+    assert dh["w"]["scale_a8"].shape == (D // 32, 512)
+    assert float(jnp.abs(dh["w"]["scale_a8"][:, HV:]).max()) == 0.0
+    np.testing.assert_allclose(
+        np.asarray(quant.mm(y, dh["w"])[:, :HV]),
+        np.asarray(quant.mm(y, fullg)[:, ids]), rtol=1e-5, atol=1e-5,
+    )
+
+
 def test_spec_eos_exactly_at_cap_is_not_hit():
     """EOS landing at the first position BEYOND the generation cap must
     NOT set hit_eos: the sequential loop exhausts range(G) without ever

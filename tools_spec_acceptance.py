@@ -1,0 +1,199 @@
+"""Layer-skip speculative ACCEPTANCE on a trained model (no checkpoints).
+
+The recorded speculative rows bracket an envelope: acceptance 0 (random
+weights, pure overhead) to acceptance 1 (--spec-accept-all ceiling).
+Where inside that envelope a real checkpoint lands is set by one number —
+the layer-skip draft's acceptance rate — which cannot be measured on
+random weights because their draft/target argmaxes are uncorrelated.
+
+This tool trains the same small 128-divisible llama as
+tools_quant_fidelity.py to convergence (peaked, *correlated* layerwise
+representations — the regime real checkpoints live in), then measures
+through the PRODUCTION path (decode/speculative.speculative_greedy):
+
+  - acceptance rate per draft depth d/L in {1/4, 2/4, 3/4, 4/4}
+  - emitted tokens per verify round (the speedup driver: each round costs
+    one draft stream * k + one verify stream)
+  - the same with a shortlist draft head (make_draft_head) at 1/4 and
+    1/8 vocab width, in TWO modes: "prefix" (first ids — on this
+    synthetic corpus the token ids are uniform, so this is the
+    worst-case zero-coverage-skew shortlist; on a real merge-ordered BPE
+    vocab the id prefix IS roughly frequency-ranked) and "ranked"
+    (corpus-frequency-ranked ids, what `make_draft_head(ids=...)` is for
+    — the analogue of the BPE id prefix's coverage on real text)
+  - greedy prefix agreement vs a single-step sequential rollout, as an
+    FYI only: the verify forward computes k+1 positions in one batched
+    decode_step, whose float accumulation order differs from the
+    single-token reference — on an overfit model whose off-distribution
+    top-2 margins dip to ~0.06 logits, sub-1e-5 logit deltas flip
+    near-ties and the rollouts legitimately fork.  Bit-exactness of the
+    accept/emit machinery at equal compute granularity is proven in
+    tests/test_speculative.py; acceptance rates here are measured on the
+    spec path's own rollouts and are unaffected by tie forks.
+
+Both teacher-distribution (training-like prefixes) and held-out
+(model-generated continuations from unseen prefixes) streams are
+measured; the held-out rows are the informative ones.  Caveat recorded in
+the output: a 4-layer overfit model is an optimistic analogue for depth
+ratios, not a BLEU-grade prediction — but it turns "acceptance unknown"
+into "acceptance at d/L=0.5 on a trained model = X".
+
+Usage:  JAX_PLATFORMS=cpu python tools_spec_acceptance.py \
+            [--steps 600] [--json docs/spec_acceptance.json]
+Runs on CPU in ~3 min.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from infinisst_tpu.decode.speculative import (
+    SpecSpec,
+    make_draft_head,
+    speculative_greedy,
+)
+from infinisst_tpu.models import llama as L
+from infinisst_tpu.streaming.state import init_decoder_state
+from tools_quant_fidelity import CFG, greedy_rollout, make_corpus, train
+
+G = 32  # tokens per stream
+
+
+_JIT_CACHE = {}
+
+
+def run_spec(params, prompt, d: int, k: int, head_vocab: int = 0,
+             head_ids=None):
+    """One speculative_greedy rollout; returns (tokens, rounds, drafted,
+    accepted).  The jitted closure is cached per (d, k, hv, prompt_len)
+    so the 6 streams of a split share one compile."""
+    key = (d, k, head_vocab, prompt.shape[0],
+           None if head_ids is None else tuple(np.asarray(head_ids)))
+    if key not in _JIT_CACHE:
+        spec = SpecSpec(
+            max_new_tokens=G, eos_id=-1, pad_id=0, draft_layers=d,
+            draft_k=k, no_repeat_ngram_size=0, repetition_penalty=1.0,
+        )
+        dh = (
+            make_draft_head(params["lm_head"], head_vocab, ids=head_ids)
+            if head_vocab else None
+        )
+        hist = jnp.zeros((8,), jnp.int32)
+
+        @jax.jit
+        def fn(st, first, prompt):
+            return speculative_greedy(
+                params, CFG, st, first, prompt,
+                jnp.asarray(prompt.shape[0], jnp.int32), hist,
+                jnp.asarray(0, jnp.int32), spec, draft_head=dh,
+            )
+
+        _JIT_CACHE[key] = fn
+    st = init_decoder_state(
+        CFG.num_layers, 1, prompt.shape[0] + G + k + 1, CFG.num_kv_heads,
+        CFG.head_dim, params["embed"].dtype,
+    )
+    logits, st = L.decode_step(params, CFG, st, L.embed(params, prompt[None]))
+    res = jax.device_get(
+        _JIT_CACHE[key](st, logits[0, -1, : CFG.vocab_size], prompt)
+    )
+    toks = res.tokens[: int(res.n_tokens)].tolist()
+    return toks, int(res.rounds), int(res.drafted), int(res.accepted)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--json", type=str, default=None)
+    args = ap.parse_args()
+
+    rng = np.random.RandomState(0)
+    corpus = make_corpus(rng, n_seq=8, S=64)
+    params = L.init_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    print("training tiny llama...", file=sys.stderr)
+    params = train(params, corpus, args.steps)
+
+    # teacher-distribution prompts: prefixes of training-rule sequences
+    # from fresh seeds; held-out prompts: unseen random-rule prefixes
+    teach = [
+        jnp.asarray(make_corpus(np.random.RandomState(200 + i), 1, 12)[0])
+        for i in range(6)
+    ]
+    held = [
+        jnp.asarray(make_corpus(np.random.RandomState(100 + i), 1, 8)[0])
+        for i in range(6)
+    ]
+
+    # greedy references (production processors off, matching run_spec)
+    refs = {}
+    for tag, prompts in (("teach", teach), ("held", held)):
+        refs[tag] = [greedy_rollout(params, p, 32) for p in prompts]
+
+    results = {
+        "config": f"llama D=256 I=512 L=4 V=512 f32-trained "
+                  f"({args.steps} steps); G={G} tokens/stream, 6 streams "
+                  "per split",
+        "caveat": "4-layer overfit model: depth-ratio analogue, "
+                  "optimistic vs a real 8B checkpoint; the held rows are "
+                  "the informative ones",
+        "rows": [],
+    }
+    # corpus-frequency-ranked ids: the synthetic analogue of a real BPE
+    # vocab's merge-ordered id prefix (high-coverage shortlist)
+    freq = np.bincount(corpus.ravel(), minlength=CFG.vocab_size)
+    ranked = np.argsort(-freq).astype(np.int32)
+    variants = [("full", 0)]
+    for hv in (CFG.vocab_size // 4, CFG.vocab_size // 8):
+        variants += [("prefix", hv), ("ranked", hv)]
+
+    for d in (1, 2, 3, 4):
+        for k in (4, 9):
+            for mode, hv in variants:
+                head_ids = (
+                    jnp.asarray(ranked[:hv]) if mode == "ranked" and hv
+                    else None
+                )
+                row = {
+                    "d_over_L": round(d / CFG.num_layers, 2),
+                    "draft_layers": d, "draft_k": k,
+                    "head_vocab": hv or CFG.vocab_size,
+                    "head_mode": mode,
+                }
+                for tag, prompts in (("teach", teach), ("held", held)):
+                    rounds = drafted = accepted = emitted = 0
+                    match = []
+                    for p, ref in zip(prompts, refs[tag]):
+                        toks, r, dr, ac = run_spec(
+                            params, p, d, k, hv, head_ids=head_ids
+                        )
+                        assert len(toks) == G, (d, k, hv, toks)
+                        match.append(next(
+                            (i for i, (a, b) in enumerate(zip(toks, ref))
+                             if a != b),
+                            G,
+                        ))
+                        rounds += r
+                        drafted += dr
+                        accepted += ac
+                        emitted += len(toks)
+                    row[f"{tag}_accept_rate"] = round(accepted / drafted, 4)
+                    row[f"{tag}_tok_per_round"] = round(emitted / rounds, 3)
+                    row[f"{tag}_greedy_prefix_match"] = match
+                results["rows"].append(row)
+                print(json.dumps(row), file=sys.stderr)
+
+    print(json.dumps(results, indent=2))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
