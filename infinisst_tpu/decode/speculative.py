@@ -79,9 +79,14 @@ def make_draft_head(lm_head, head_vocab: int, ids=None):
     512-multiple of columns with zero scales (pad logits are sliced off by
     the draft cfg's vocab_size, mirroring llama.py's handling).
 
-    Returns {'w': sliced head, 'ids': (head_vocab,) int32} for the
-    ``draft_head`` argument of the speculative decoders."""
-    if ids is None:
+    Returns {'w': sliced head, 'prefix': (head_vocab,) int32} for the
+    default id-prefix shortlist, or {'w': ..., 'ids': (head_vocab,)} for
+    a custom shortlist — the KEY is how the decoders statically pick the
+    cheap path: a prefix shortlist's scores re-enter full-vocab space as
+    a constant pad (vectorized, near-free), a custom shortlist needs a
+    real scatter (measurably slower per draft step at 128k vocab)."""
+    prefix = ids is None
+    if prefix:
         ids = jnp.arange(head_vocab, dtype=jnp.int32)
     else:
         ids = jnp.asarray(ids, jnp.int32)
@@ -103,7 +108,7 @@ def make_draft_head(lm_head, head_vocab: int, ids=None):
         }
     else:
         w = cols(lm_head, 0)
-    return {"w": w, "ids": ids}
+    return {"w": w, ("prefix" if prefix else "ids"): ids}
 
 
 class SpecResult(NamedTuple):
@@ -169,8 +174,12 @@ def batched_speculative_greedy(
     if draft_head is None:
         cfg_d = dataclasses.replace(cfg, num_layers=d)
         head_ids = None
+        head_prefix = False
     else:
-        head_ids = draft_head["ids"]
+        # key choice is static pytree structure: 'prefix' selects the
+        # pad re-entry, 'ids' the scatter re-entry (make_draft_head)
+        head_prefix = "prefix" in draft_head
+        head_ids = draft_head["prefix"] if head_prefix else draft_head["ids"]
         Vs = head_ids.shape[0]
         cfg_d = dataclasses.replace(cfg, num_layers=d, vocab_size=Vs)
         params_d["lm_head"] = draft_head["w"]
@@ -223,11 +232,19 @@ def batched_speculative_greedy(
             )
             if head_ids is None:
                 scores = lg[:, -1, :V]
+            elif head_prefix:
+                # prefix shortlist: shortlist id i IS vocab id i, so
+                # full-vocab re-entry is a constant pad — off-shortlist
+                # tokens sit at -1e9 and can never be drafted (a miss
+                # costs acceptance, never correctness)
+                scores = jnp.pad(
+                    lg[:, -1, :Vs], ((0, 0), (0, V - Vs)),
+                    constant_values=-1e9,
+                ).astype(lg.dtype)
             else:
-                # scatter the shortlist scores into full-vocab space so the
-                # shared processors (penalties, bans, suppress) see real
-                # token ids; off-shortlist tokens sit at -1e9 and can never
-                # be drafted (a miss costs acceptance, never correctness)
+                # custom shortlist: real scatter into full-vocab space so
+                # the shared processors (penalties, bans, suppress) see
+                # real token ids
                 scores = jnp.full((B, V), -1e9, lg.dtype)
                 scores = scores.at[:, head_ids].set(lg[:, -1, :Vs])
             nxt = process_argmax(scores, sbuf, slen + 1)

@@ -268,6 +268,11 @@ def test_make_draft_head_layouts_and_gather_equivalence():
     y = jax.random.normal(jax.random.PRNGKey(1), (3, D), jnp.float32)
     ids = jax.random.permutation(jax.random.PRNGKey(2), V)[:HV]
 
+    # mode is signalled by STATIC pytree structure: default id-prefix
+    # shortlists carry 'prefix' (pad re-entry), custom ones 'ids' (scatter)
+    assert "prefix" in make_draft_head(w, HV)
+    assert "ids" in make_draft_head(w, HV, ids=ids)
+
     # bf16/fp32 layout: plain column gather, no padding
     dh = make_draft_head(w, HV, ids=ids)
     assert dh["w"].shape == (D, HV)
