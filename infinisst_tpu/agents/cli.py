@@ -72,8 +72,11 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--speculative", action="store_true")
     p.add_argument("--spec-draft-layers", type=int, default=8)
     p.add_argument("--spec-k", type=int, default=4)
-    # shortlist draft head width (0 = full lm_head); exact either way
+    # shortlist draft head width (0 = full lm_head); exact either way.
+    # --spec-head-ids: .npy file of corpus-frequency-ranked token ids
+    # (first spec-head-vocab entries used); default is the id prefix
     p.add_argument("--spec-head-vocab", type=int, default=0)
+    p.add_argument("--spec-head-ids", type=str, default=None)
     p.add_argument("--do-sample", action="store_true")
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top-k", type=int, default=0)
@@ -124,6 +127,7 @@ def add_args(p: argparse.ArgumentParser):
 
 def build_agent(args):
     import jax.numpy as jnp
+    import numpy as np
 
     from infinisst_tpu.agents.alignatt import AlignAttAgent, AlignAttOptions
     from infinisst_tpu.agents.infinisst import (
@@ -217,6 +221,10 @@ def build_agent(args):
         spec_draft_layers=args.spec_draft_layers,
         spec_k=args.spec_k,
         spec_head_vocab=args.spec_head_vocab,
+        spec_head_ids=(
+            np.load(args.spec_head_ids)[: args.spec_head_vocab]
+            if args.spec_head_ids else None
+        ),
         do_sample=args.do_sample,
         temperature=args.temperature,
         top_k=args.top_k,

@@ -93,11 +93,15 @@ class InfiniSSTOptions:
     spec_draft_layers: int = 8
     spec_k: int = 4
     spec_accept_all: bool = False  # bench-only machinery ceiling
-    # shortlist draft head: the draft scores only the first N vocab ids
-    # (BPE ids are merge-frequency-ordered) through a column-sliced lm_head
-    # — at 8B the full head dominates draft cost.  0 = full head.  Exact
+    # shortlist draft head: the draft scores only spec_head_vocab vocab
+    # ids through a column-sliced lm_head — shrinking the per-draft-step
+    # head stream.  Default shortlist is the id prefix (BPE ids are
+    # merge-frequency-ordered); spec_head_ids supplies corpus-ranked ids
+    # instead (docs/spec_acceptance.json: ranked shortlists keep 65-80%
+    # of full-head acceptance at 1/4 width).  0 = full head.  Exact
     # either way (decode/speculative.make_draft_head).
     spec_head_vocab: int = 0
+    spec_head_ids: Optional[np.ndarray] = None
 
 
 class InfiniSSTAgent(SpeechToTextAgent):
@@ -127,7 +131,8 @@ class InfiniSSTAgent(SpeechToTextAgent):
             # sliced ONCE at init (device op); rides the params pytree into
             # the jitted chunk fn so it is an input, not a graph constant
             params["spec_draft_head"] = make_draft_head(
-                params["llama"]["lm_head"], opts.spec_head_vocab
+                params["llama"]["lm_head"], opts.spec_head_vocab,
+                ids=opts.spec_head_ids,
             )
         self.params = params
         self.cfg = model_cfg

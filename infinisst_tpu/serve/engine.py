@@ -94,6 +94,7 @@ class ServingEngine:
         spec_k: int = 4,
         spec_accept_all: bool = False,  # bench-only machinery ceiling
         spec_head_vocab: int = 0,  # shortlist draft head width (0 = full)
+        spec_head_ids=None,  # corpus-ranked shortlist ids (None = prefix)
     ):
         if speculative and spec_head_vocab:
             from infinisst_tpu.decode.speculative import make_draft_head
@@ -103,7 +104,8 @@ class ServingEngine:
             # sliced ONCE here; rides the params pytree into the jitted
             # tick so it is an input, not a baked graph constant
             params["spec_draft_head"] = make_draft_head(
-                params["llama"]["lm_head"], spec_head_vocab
+                params["llama"]["lm_head"], spec_head_vocab,
+                ids=spec_head_ids,
             )
         self.params = params
         self.cfg = cfg

@@ -210,6 +210,22 @@ def test_agent_speculative_stream_matches_drafts():
         assert int(agent.dec_state.valid_len[0]) == agent.llm_cache_len
     assert outs[1] == outs[2], (outs, stats)
     assert len(outs[1]) > 0
+    # shortlist draft heads (prefix AND custom-ranked ids) through the
+    # full agent: emissions must be identical to the full-head runs
+    for head_kw in (
+        dict(spec_head_vocab=64),
+        dict(spec_head_vocab=48,
+             spec_head_ids=np.arange(400, 304, -2, dtype=np.int32)),
+    ):
+        agent = make_agent(
+            speculative=True, spec_draft_layers=2, spec_k=3, **head_kw
+        )
+        rng = np.random.RandomState(5)
+        chunk = agent.chunk_samples
+        for i in range(4):
+            agent.push(rng.randn(chunk).astype(np.float32) * 0.1,
+                       finished=(i == 3))
+        assert list(agent.states.target_ids) == outs[1], head_kw
     # the full-model draft accepts every drafted token
     r2, dr2, ac2, em2 = stats[2]
     assert ac2 == dr2 or em2 < r2 * 4  # eos/cap can cut rounds short
