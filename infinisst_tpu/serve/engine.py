@@ -489,7 +489,13 @@ class ServingEngine:
             ).astype(np.int16)
             row_frames[i] = self.stream.chunk_frames(s.m)
             row_patches[i] = self.stream.chunk_speech_tokens(s.m)
-            row_max_new[i] = self.stream.max_new_tokens(s.m)
+            # clamp to the engine-wide cap: the spec decoder's row_max_new
+            # contract is <= G (= self.max_new), and an engine constructed
+            # with max_new_tokens below the stream cap must bind every path
+            # (beam/greedy loops are G-bounded anyway; the spec path's
+            # staging arithmetic relies on the contract)
+            row_max_new[i] = min(self.stream.max_new_tokens(s.m),
+                                 self.max_new)
             builder = self.builders[s.lang_pair]
             pr = builder.chunk_prompt(s.m, first=s.first_chunk)
             if s.first_chunk:

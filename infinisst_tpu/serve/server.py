@@ -145,6 +145,15 @@ def main():  # pragma: no cover - network entrypoint
                    help="W8A8 int8 decode weights (fits the 8B flagship "
                    "on one 16 GB chip)")
     p.add_argument("--suppress-non-language", action="store_true")
+    # speculative pooled serving (greedy-exact, forces beam=1): layer-skip
+    # draft + k-token verify shared across the pool; --spec-head-vocab
+    # slices a shortlist draft head (--spec-head-ids: .npy of
+    # corpus-frequency-ranked ids, default id prefix)
+    p.add_argument("--speculative", action="store_true")
+    p.add_argument("--spec-draft-layers", type=int, default=8)
+    p.add_argument("--spec-k", type=int, default=4)
+    p.add_argument("--spec-head-vocab", type=int, default=0)
+    p.add_argument("--spec-head-ids", type=str, default=None)
     p.add_argument("--model-preset", default="bench")
     p.add_argument("--state-dict-path", default=None)
     p.add_argument("--tokenizer-path", default=None)
@@ -232,10 +241,19 @@ def main():  # pragma: no cover - network entrypoint
     engine = ServingEngine(
         params, cfg, StreamConfig(), builders,
         pool_size=args.pool_size, multiplier=args.multiplier,
-        beam=args.beam, suppress_tokens=suppress,
+        beam=1 if args.speculative else args.beam,
+        suppress_tokens=suppress,
         multipliers=(
             tuple(int(x) for x in args.multipliers.split(","))
             if args.multipliers else None
+        ),
+        speculative=args.speculative,
+        spec_draft_layers=args.spec_draft_layers,
+        spec_k=args.spec_k,
+        spec_head_vocab=args.spec_head_vocab,
+        spec_head_ids=(
+            np.load(args.spec_head_ids)[: args.spec_head_vocab]
+            if args.spec_head_ids else None
         ),
     )
     asyncio.run(StreamingServer(engine).run(args.host, args.port))

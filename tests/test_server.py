@@ -116,3 +116,57 @@ def test_server_mixed_multiplier_clients():
     assert isinstance(r0, list) and len(r0) >= 1
     assert isinstance(r1, list) and len(r1) >= 1
     assert err["type"] == "error" and "7" in err["message"]
+
+
+@pytest.mark.slow
+def test_server_speculative_pool():
+    """TCP serving over a SPECULATIVE pool (greedy-exact, shortlist draft
+    head): two clients get the same final transcripts a plain greedy
+    (beam=1) engine produces for the same audio."""
+    cfg = CFG.replace(tokens=small_special_tokens())
+    stream = StreamConfig(
+        max_cache_frames=96, max_llm_cache_tokens=120, llm_cache_capacity=256
+    )
+    tok = StubTokenizer(512, lo=10, hi=400)
+    builders = {
+        ("English", "German"): PromptBuilder(tok, cfg.tokens, "English", "German"),
+    }
+    params = tiny_params()
+    rng = np.random.RandomState(2)
+    wavs = [rng.randn(2 * 15360).astype(np.float32) * 0.1 for _ in range(2)]
+
+    def serve(**kw):
+        eng = ServingEngine(
+            params, cfg, stream, builders, pool_size=2, multiplier=1,
+            max_new_tokens=6, dtype=jnp.float32, beam=1, **kw,
+        )
+        srv = StreamingServer(eng, tick_interval=0.05)
+
+        async def run():
+            server = await asyncio.start_server(
+                srv.handle, "127.0.0.1", 0, limit=16 * 1024 * 1024
+            )
+            port = server.sockets[0].getsockname()[1]
+            tick = asyncio.create_task(srv.tick_loop())
+            results = await asyncio.wait_for(
+                asyncio.gather(
+                    stream_file("127.0.0.1", port, wavs[0]),
+                    stream_file("127.0.0.1", port, wavs[1]),
+                ),
+                timeout=600,
+            )
+            tick.cancel()
+            server.close()
+            return results
+
+        return asyncio.run(run())
+
+    # stream_file returns the text contents (it ends on the final=true
+    # message); segmentation depends on tick timing, the CONCATENATED
+    # transcript is deterministic (chunks are consumed in order)
+    plain = serve()
+    spec = serve(speculative=True, spec_draft_layers=2, spec_k=3,
+                 spec_head_vocab=64)
+    for i in (0, 1):
+        assert "".join(spec[i]) == "".join(plain[i]), i
+    assert "".join(spec[0])
