@@ -164,6 +164,12 @@ def batched_speculative_greedy(
     Tbuf = Tp + G + k
     if row_max_new is None:
         row_max_new = jnp.full((B,), G, jnp.int32)
+    else:
+        # defend the <= G contract in-graph: the staging/commit arithmetic
+        # sizes its buffers by G, so an over-G row cap must bind to G (the
+        # serve engine clamps host-side too; this keeps the decoder
+        # correct for any caller)
+        row_max_new = jnp.minimum(row_max_new, G)
 
     params_d = {
         "embed": params["embed"],

@@ -305,6 +305,35 @@ def test_make_draft_head_layouts_and_gather_equivalence():
     )
 
 
+def test_spec_row_cap_above_G_binds_to_G():
+    """A caller passing row_max_new > max_new_tokens (the serve engine's
+    pre-fix behaviour) must get exactly the G-capped greedy sequence —
+    the decoder clamps the contract in-graph."""
+    from infinisst_tpu.decode.speculative import batched_speculative_greedy
+
+    params, prompt, dec0, first = setup(2)
+    hist = jnp.full((16,), PAD, jnp.int32)
+    hlen = jnp.zeros((), jnp.int32)
+    ref, _ = seq_greedy(
+        params, prompt, jax.tree.map(lambda a: a.copy(), dec0), first,
+        -1, hist, hlen,
+    )
+    spec = SpecSpec(
+        max_new_tokens=G, eos_id=-1, pad_id=PAD, draft_layers=2,
+        draft_k=4, no_repeat_ngram_size=NGRAM, repetition_penalty=REP,
+    )
+    out = batched_speculative_greedy(
+        params, CFG, dec0, first[None], prompt[None],
+        jnp.asarray([len(prompt)], jnp.int32), hist[None], hlen[None],
+        spec, jnp.ones((1,), bool),
+        row_max_new=jnp.asarray([G + 7], jnp.int32),
+        encoder_ngram_size=NGRAM,
+    )
+    toks, n_tok = out[0], out[1]
+    assert int(n_tok[0]) == len(ref) == G
+    assert toks[0, :G].tolist() == ref
+
+
 def test_spec_eos_exactly_at_cap_is_not_hit():
     """EOS landing at the first position BEYOND the generation cap must
     NOT set hit_eos: the sequential loop exhausts range(G) without ever

@@ -99,3 +99,23 @@ def test_offline_translate_tiny():
     # reset + second utterance works (agent reuse across files)
     text2 = translate_waveform(agent, wav[:18000])
     assert isinstance(text2, str)
+
+
+def test_make_head_shortlist_ranking():
+    """rank_ids: most-frequent first, ties and unseen ids in id order, so
+    any prefix of the output is a valid shortlist covering the corpus
+    greedily."""
+    import sys
+    sys.path.insert(0, "tools")
+    from make_head_shortlist import count_tokens, rank_ids
+
+    counts = np.array([0, 5, 2, 5, 0, 9], np.int64)
+    ranked = rank_ids(counts)
+    assert ranked.tolist() == [5, 1, 3, 2, 0, 4]
+    assert ranked.dtype == np.int32
+
+    # count_tokens: whitespace lines skipped, out-of-range ids dropped
+    lines = ["a b", "", "  ", "b c"]
+    enc = {"a b": [1, 2], "b c": [2, 99]}
+    got = count_tokens(lines, lambda s: enc[s], vocab_size=4)
+    assert got.tolist() == [0, 1, 2, 0]
