@@ -388,13 +388,24 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
         n_tok = sum(len(eng.slots[s_].target_ids) for s_ in slots) - n_tok0
         audio_s = base_ticks * unit / 16000.0  # per stream
         mtag = "x".join(str(m) for m in multipliers)
+        dmode = (
+            f"spec{'AA' if spec_accept_all else ''}"
+            f"d{eng.spec_draft_layers}k{eng.spec_k}"
+            + (f"hv{spec_head_vocab // 1000}k" if spec_head_vocab else "")
+            if speculative else f"beam{beam}"
+        )
         result = {
-            "metric": f"serve_decode_tok_per_s_pool{pool}_beam{beam}_"
+            "metric": f"serve_decode_tok_per_s_pool{pool}_{dmode}_"
                       f"mixedm{mtag}_{tag}",
             "value": round(n_tok / wall, 2),
             "unit": "tok/s/chip",
             "vs_baseline": round((n_tok / wall) / 30.0, 3),
         }
+        if speculative:
+            st = eng.spec_stats
+            result["accept_rate"] = round(
+                st["accepted"] / max(st["drafted"], 1), 4
+            )
         print(json.dumps(result))
         print(
             f"MIXED pool={pool} m={ms} base_ticks={base_ticks} "
