@@ -492,6 +492,18 @@ def test_engine_speculative_matches_greedy():
     assert t1 == g1, (t1, g1)
     assert eng.spec_stats["emitted"] == len(g0) + len(g1)
 
+    # slot churn on the SPEC pool: close a finished slot mid-life, reuse
+    # it for a fresh stream — the recycled slot must reproduce a fresh
+    # engine's emissions exactly (state reset covers the spec path)
+    eng.close_stream(0)
+    s2 = eng.open_stream("c2", multiplier=1)
+    assert s2 == 0 and int(eng.dec_state.valid_len[0]) == 0
+    for t in range(n_ticks):
+        eng.push_audio(s2, a0[t * unit: (t + 1) * unit],
+                       finished=t == n_ticks - 1)
+        eng.tick()
+    assert list(eng.slots[s2].target_ids) == g0
+
     with pytest.raises(ValueError):
         ServingEngine(
             params, cfg, stream, builders, pool_size=2, beam=2,
