@@ -125,6 +125,27 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--dtype", type=str, default="bfloat16")
 
 
+def _load_head_ids(path, head_vocab, np):
+    """Load and validate a --spec-head-ids file against --spec-head-vocab
+    with actionable errors (a silently-dropped shortlist or a bare
+    assert deep in make_draft_head would both mask user mistakes)."""
+    if not path:
+        return None
+    if not head_vocab:
+        raise SystemExit(
+            "--spec-head-ids requires --spec-head-vocab N (the first N "
+            "ids of the file form the shortlist); without it the file "
+            "would be silently ignored"
+        )
+    ids = np.load(path)
+    if ids.ndim != 1 or len(ids) < head_vocab:
+        raise SystemExit(
+            f"--spec-head-ids {path}: need a 1-D array with >= "
+            f"{head_vocab} ids, got shape {ids.shape}"
+        )
+    return ids[:head_vocab]
+
+
 def build_agent(args):
     import jax.numpy as jnp
     import numpy as np
@@ -221,9 +242,8 @@ def build_agent(args):
         spec_draft_layers=args.spec_draft_layers,
         spec_k=args.spec_k,
         spec_head_vocab=args.spec_head_vocab,
-        spec_head_ids=(
-            np.load(args.spec_head_ids)[: args.spec_head_vocab]
-            if args.spec_head_ids else None
+        spec_head_ids=_load_head_ids(
+            args.spec_head_ids, args.spec_head_vocab, np
         ),
         do_sample=args.do_sample,
         temperature=args.temperature,

@@ -126,7 +126,11 @@ class InfiniSSTAgent(SpeechToTextAgent):
         if opts.speculative and opts.spec_head_vocab:
             from infinisst_tpu.decode.speculative import make_draft_head
 
-            assert opts.spec_head_vocab < model_cfg.llama.vocab_size
+            if not 0 < opts.spec_head_vocab < model_cfg.llama.vocab_size:
+                raise ValueError(
+                    f"spec_head_vocab={opts.spec_head_vocab} must be in "
+                    f"(0, vocab_size={model_cfg.llama.vocab_size})"
+                )
             params = dict(params)
             # sliced ONCE at init (device op); rides the params pytree into
             # the jitted chunk fn so it is an input, not a graph constant

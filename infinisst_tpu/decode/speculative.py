@@ -90,7 +90,12 @@ def make_draft_head(lm_head, head_vocab: int, ids=None):
         ids = jnp.arange(head_vocab, dtype=jnp.int32)
     else:
         ids = jnp.asarray(ids, jnp.int32)
-        assert ids.shape == (head_vocab,), (ids.shape, head_vocab)
+        if ids.shape != (head_vocab,):
+            raise ValueError(
+                f"shortlist ids have shape {ids.shape}, need exactly "
+                f"({head_vocab},) — is the ids file shorter than "
+                "the requested head_vocab?"
+            )
 
     def cols(a, pad_cols):
         out = jnp.take(a, ids, axis=-1)
@@ -240,18 +245,22 @@ def batched_speculative_greedy(
                 scores = lg[:, -1, :V]
             elif head_prefix:
                 # prefix shortlist: shortlist id i IS vocab id i, so
-                # full-vocab re-entry is a constant pad — off-shortlist
-                # tokens sit at -1e9 and can never be drafted (a miss
-                # costs acceptance, never correctness)
+                # full-vocab re-entry is a constant pad.  Off-shortlist
+                # tokens sit at -inf, strictly below every processed
+                # score INCLUDING suppressed/banned ones (NEG_INF=-1e9),
+                # so the draft can never propose an off-shortlist id; if
+                # the entire shortlist is banned the round drafts a
+                # banned token that verify rejects — acceptance-only
+                # cost, never correctness
                 scores = jnp.pad(
                     lg[:, -1, :Vs], ((0, 0), (0, V - Vs)),
-                    constant_values=-1e9,
+                    constant_values=-jnp.inf,
                 ).astype(lg.dtype)
             else:
                 # custom shortlist: real scatter into full-vocab space so
                 # the shared processors (penalties, bans, suppress) see
                 # real token ids
-                scores = jnp.full((B, V), -1e9, lg.dtype)
+                scores = jnp.full((B, V), -jnp.inf, lg.dtype)
                 scores = scores.at[:, head_ids].set(lg[:, -1, :Vs])
             nxt = process_argmax(scores, sbuf, slen + 1)
             sbuf = jax.vmap(lambda b, l, t: b.at[l + 1].set(t))(

@@ -99,7 +99,11 @@ class ServingEngine:
         if speculative and spec_head_vocab:
             from infinisst_tpu.decode.speculative import make_draft_head
 
-            assert spec_head_vocab < cfg.llama.vocab_size
+            if not 0 < spec_head_vocab < cfg.llama.vocab_size:
+                raise ValueError(
+                    f"spec_head_vocab={spec_head_vocab} must be in "
+                    f"(0, vocab_size={cfg.llama.vocab_size})"
+                )
             params = dict(params)
             # sliced ONCE here; rides the params pytree into the jitted
             # tick so it is an input, not a baked graph constant

@@ -127,6 +127,13 @@ class StreamingServer:
             await server.serve_forever()
 
 
+def _head_ids(args):
+    """Validated --spec-head-ids loading (same rules as agents/cli.py)."""
+    from infinisst_tpu.agents.cli import _load_head_ids
+
+    return _load_head_ids(args.spec_head_ids, args.spec_head_vocab, np)
+
+
 def main():  # pragma: no cover - network entrypoint
     p = argparse.ArgumentParser()
     p.add_argument("--host", default="127.0.0.1")
@@ -251,10 +258,7 @@ def main():  # pragma: no cover - network entrypoint
         spec_draft_layers=args.spec_draft_layers,
         spec_k=args.spec_k,
         spec_head_vocab=args.spec_head_vocab,
-        spec_head_ids=(
-            np.load(args.spec_head_ids)[: args.spec_head_vocab]
-            if args.spec_head_ids else None
-        ),
+        spec_head_ids=_head_ids(args),
     )
     asyncio.run(StreamingServer(engine).run(args.host, args.port))
 
