@@ -149,6 +149,22 @@ def main():
                 if "--spec-head-vocab" in sys.argv else 0
             ),
         )
+        if "--spec-adapter-rank" in sys.argv:
+            # random early-exit adapter (train/draft.py shape): with
+            # random bench weights acceptance is ~0 either way, so this
+            # row isolates the adapter's draft-step OVERHEAD — the cost
+            # side of the acceptance-lift trade (created on device; the
+            # tunnel upload of host arrays this size would dominate)
+            r = int(sys.argv[sys.argv.index("--spec-adapter-rank") + 1])
+            D = cfg.llama.hidden_size
+            ka = jax.random.PRNGKey(7)
+            spec_kw["spec_adapter"] = {
+                "ln": jnp.ones((D,), dtype),
+                "w1": jax.random.normal(ka, (D, r), dtype) * 0.02,
+                "w2": jax.random.normal(
+                    jax.random.fold_in(ka, 1), (r, D), dtype
+                ) * 0.02,
+            }
     opts = InfiniSSTOptions(
         latency_multiplier=multiplier,
         beam=4,
@@ -253,6 +269,9 @@ def main():
         ) + f"_d{opts.spec_draft_layers}k{opts.spec_k}" + (
             f"_hv{opts.spec_head_vocab // 1000}k"
             if opts.spec_head_vocab else ""
+        ) + (
+            f"_ada{opts.spec_adapter['w1'].shape[1]}"
+            if opts.spec_adapter is not None else ""
         )
         acc = (
             agent.spec_accepted / agent.spec_drafted

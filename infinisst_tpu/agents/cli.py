@@ -77,6 +77,9 @@ def add_args(p: argparse.ArgumentParser):
     # (first spec-head-vocab entries used); default is the id prefix
     p.add_argument("--spec-head-vocab", type=int, default=0)
     p.add_argument("--spec-head-ids", type=str, default=None)
+    # --spec-adapter: npz from train.draft.save_adapter (distilled
+    # early-exit adapter; depth-checked against --spec-draft-layers)
+    p.add_argument("--spec-adapter", type=str, default=None)
     p.add_argument("--do-sample", action="store_true")
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top-k", type=int, default=0)
@@ -144,6 +147,17 @@ def _load_head_ids(path, head_vocab, np):
             f"{head_vocab} ids, got shape {ids.shape}"
         )
     return ids[:head_vocab]
+
+
+def _load_adapter(args):
+    """--spec-adapter npz, depth-checked against --spec-draft-layers."""
+    if not getattr(args, "spec_adapter", None):
+        return None
+    if not args.speculative:
+        raise SystemExit("--spec-adapter requires --speculative")
+    from infinisst_tpu.train.draft import load_adapter
+
+    return load_adapter(args.spec_adapter, expect_d=args.spec_draft_layers)
 
 
 def build_agent(args):
@@ -245,6 +259,7 @@ def build_agent(args):
         spec_head_ids=_load_head_ids(
             args.spec_head_ids, args.spec_head_vocab, np
         ),
+        spec_adapter=_load_adapter(args),
         do_sample=args.do_sample,
         temperature=args.temperature,
         top_k=args.top_k,

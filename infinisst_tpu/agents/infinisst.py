@@ -102,6 +102,12 @@ class InfiniSSTOptions:
     # either way (decode/speculative.make_draft_head).
     spec_head_vocab: int = 0
     spec_head_ids: Optional[np.ndarray] = None
+    # distilled early-exit adapter (train/draft.py): raises the draft's
+    # acceptance at small spec_draft_layers without touching the
+    # backbone; draft-only, so emissions stay exactly greedy.  A dict
+    # {'ln','w1','w2'} (e.g. train.draft.load_adapter) — pass
+    # expect_d=spec_draft_layers at load to catch depth mismatches.
+    spec_adapter: Optional[dict] = None
 
 
 class InfiniSSTAgent(SpeechToTextAgent):
@@ -137,6 +143,20 @@ class InfiniSSTAgent(SpeechToTextAgent):
             params["spec_draft_head"] = make_draft_head(
                 params["llama"]["lm_head"], opts.spec_head_vocab,
                 ids=opts.spec_head_ids,
+            )
+        if opts.speculative and opts.spec_adapter is not None:
+            D = model_cfg.llama.hidden_size
+            if opts.spec_adapter["ln"].shape != (D,):
+                raise ValueError(
+                    f"spec_adapter hidden size "
+                    f"{opts.spec_adapter['ln'].shape} does not match the "
+                    f"model ({D},)"
+                )
+            params = dict(params)
+            # rides the params pytree into the jitted chunk fn (a traced
+            # input, not a baked constant), cast to the compute dtype
+            params["spec_adapter"] = jax.tree.map(
+                lambda a: jnp.asarray(a, param_dtype), opts.spec_adapter
             )
         self.params = params
         self.cfg = model_cfg
@@ -382,6 +402,7 @@ class InfiniSSTAgent(SpeechToTextAgent):
                     encoder_ngram_size=enc_ng,
                     suppress_mask=suppress,
                     draft_head=params.get("spec_draft_head"),
+                    exit_adapter=params.get("spec_adapter"),
                 )
             else:
                 res = beam_mod.beam_search(

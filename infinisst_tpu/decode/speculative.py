@@ -141,6 +141,7 @@ def batched_speculative_greedy(
     encoder_ngram_size: int = 0,
     suppress_mask: Optional[jnp.ndarray] = None,
     draft_head: Optional[dict] = None,  # make_draft_head output (shortlist)
+    exit_adapter: Optional[dict] = None,  # train/draft.py distilled adapter
 ):
     """Pooled layer-skip speculation: every slot drafts and verifies in
     lockstep, so the pool shares ONE draft stream and ONE verify stream
@@ -182,6 +183,10 @@ def batched_speculative_greedy(
         "final_ln": params["final_ln"],
         "lm_head": params["lm_head"],
     }
+    if exit_adapter is not None:
+        # distilled early-exit adapter (train/draft.py): draft-only, so
+        # exactness is untouched — verify never sees it
+        params_d["exit_adapter"] = exit_adapter
     if draft_head is None:
         cfg_d = dataclasses.replace(cfg, num_layers=d)
         head_ids = None
@@ -375,6 +380,7 @@ def speculative_greedy(
     encoder_ngram_size: int = 0,
     suppress_mask: Optional[jnp.ndarray] = None,
     draft_head: Optional[dict] = None,
+    exit_adapter: Optional[dict] = None,
 ) -> SpecResult:
     """Single-stream wrapper over :func:`batched_speculative_greedy`
     (B=1) — one copy of the accept/emit arithmetic lives in the batched
@@ -389,6 +395,7 @@ def speculative_greedy(
             encoder_ngram_size=encoder_ngram_size,
             suppress_mask=suppress_mask,
             draft_head=draft_head,
+            exit_adapter=exit_adapter,
         )
     )
     return SpecResult(

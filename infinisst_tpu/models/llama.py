@@ -52,6 +52,22 @@ def _rms_norm(x, scale, eps):
     )
 
 
+def apply_exit_adapter(adapter: Params, h: jnp.ndarray, eps: float):
+    """Trained early-exit adapter (residual gated MLP) applied to the
+    hidden state pre-``final_ln``.  Used by the layer-skip speculative
+    draft: the adapter is distilled (train/draft.py) to map the layer-d
+    hidden toward the full model's final hidden, raising draft acceptance
+    at small d without touching backbone weights (LayerSkip-style
+    self-distillation, Elhoushi et al. 2024 — but adapter-only, so the
+    target model's own outputs are bit-identical with or without it).
+
+    ``w2`` is zero-initialised, so an untrained adapter is an exact
+    identity.  Pytree: {'ln': (D,), 'w1': (D, r), 'w2': (r, D)}."""
+    y = _rms_norm(h, adapter["ln"], eps)
+    y = jax.nn.silu(mm(y, adapter["w1"]))
+    return h + mm(y, adapter["w2"]).astype(h.dtype)
+
+
 def rope_inv_freq(cfg: LlamaConfig) -> jnp.ndarray:
     return jnp.asarray(
         R.llama_rope_freqs(
@@ -166,6 +182,11 @@ def decode_step(
     )
     new_kv = (scanned[0], scanned[1])
     probes = scanned[2]
+    if "exit_adapter" in params:
+        # speculative draft path only: params with this key are the
+        # draft's truncated pytree (decode/speculative.py) — the target
+        # model's params never carry it
+        h = apply_exit_adapter(params["exit_adapter"], h, cfg.rms_norm_eps)
     h = _rms_norm(h, params["final_ln"], cfg.rms_norm_eps)
     logits = mm(h, params["lm_head"])[..., : cfg.vocab_size]
 
@@ -197,6 +218,27 @@ def decode_step(
     return logits, new_state
 
 
+def offline_hidden(
+    params: Params,
+    cfg: LlamaConfig,
+    x_embed: jnp.ndarray,  # (B, S, D)
+    attention_mask: Optional[jnp.ndarray] = None,  # (B, S) 1 = real
+    remat: bool = False,
+    num_layers: Optional[int] = None,
+) -> jnp.ndarray:
+    """Pre-``final_ln`` hidden after the first ``num_layers`` layers
+    (default: all), plain causal attention, no cache.  This is exactly
+    the hidden the layer-skip speculative draft sees at depth d
+    (decode_step over params.layers[:d]), so it is the distillation
+    input for the early-exit adapter (train/draft.py).
+
+    Returns h (B, S, D)."""
+    layers = params["layers"]
+    if num_layers is not None:
+        layers = jax.tree.map(lambda a: a[:num_layers], layers)
+    return _offline_scan(layers, cfg, x_embed, attention_mask, remat)
+
+
 def offline_forward(
     params: Params,
     cfg: LlamaConfig,
@@ -208,6 +250,18 @@ def offline_forward(
 
     ``remat`` checkpoints each layer (gradient checkpointing).
     Returns logits (B, S, V)."""
+    h = _offline_scan(params["layers"], cfg, x_embed, attention_mask, remat)
+    h = _rms_norm(h, params["final_ln"], cfg.rms_norm_eps)
+    return h @ params["lm_head"]
+
+
+def _offline_scan(
+    layers: Params,
+    cfg: LlamaConfig,
+    x_embed: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray],
+    remat: bool,
+) -> jnp.ndarray:
     B, S, D = x_embed.shape
     H, KV, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     inv_freq = rope_inv_freq(cfg)
@@ -247,9 +301,8 @@ def offline_forward(
         return h, None
 
     scan_body = jax.checkpoint(body) if remat else body
-    h, _ = lax.scan(scan_body, x_embed, params["layers"])
-    h = _rms_norm(h, params["final_ln"], cfg.rms_norm_eps)
-    return h @ params["lm_head"]
+    h, _ = lax.scan(scan_body, x_embed, layers)
+    return h
 
 
 def embed(params: Params, token_ids: jnp.ndarray) -> jnp.ndarray:

@@ -95,6 +95,9 @@ class ServingEngine:
         spec_accept_all: bool = False,  # bench-only machinery ceiling
         spec_head_vocab: int = 0,  # shortlist draft head width (0 = full)
         spec_head_ids=None,  # corpus-ranked shortlist ids (None = prefix)
+        spec_adapter: Optional[dict] = None,  # distilled early-exit
+        # adapter (train/draft.py load_adapter) — draft-only, exactness
+        # untouched; raises acceptance at small spec_draft_layers
     ):
         if speculative and spec_head_vocab:
             from infinisst_tpu.decode.speculative import make_draft_head
@@ -110,6 +113,17 @@ class ServingEngine:
             params["spec_draft_head"] = make_draft_head(
                 params["llama"]["lm_head"], spec_head_vocab,
                 ids=spec_head_ids,
+            )
+        if speculative and spec_adapter is not None:
+            D = cfg.llama.hidden_size
+            if spec_adapter["ln"].shape != (D,):
+                raise ValueError(
+                    f"spec_adapter hidden size {spec_adapter['ln'].shape} "
+                    f"does not match the model ({D},)"
+                )
+            params = dict(params)
+            params["spec_adapter"] = jax.tree.map(
+                lambda a: jnp.asarray(a, dtype), spec_adapter
             )
         self.params = params
         self.cfg = cfg
@@ -317,6 +331,7 @@ class ServingEngine:
                         encoder_ngram_size=stream.no_repeat_ngram_size,
                         suppress_mask=self._suppress,
                         draft_head=params.get("spec_draft_head"),
+                        exit_adapter=params.get("spec_adapter"),
                     )
                 )
                 stats = jnp.stack(

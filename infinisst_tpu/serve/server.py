@@ -134,6 +134,13 @@ def _head_ids(args):
     return _load_head_ids(args.spec_head_ids, args.spec_head_vocab, np)
 
 
+def _adapter(args):
+    """Validated --spec-adapter loading (same rules as agents/cli.py)."""
+    from infinisst_tpu.agents.cli import _load_adapter
+
+    return _load_adapter(args)
+
+
 def main():  # pragma: no cover - network entrypoint
     p = argparse.ArgumentParser()
     p.add_argument("--host", default="127.0.0.1")
@@ -161,6 +168,8 @@ def main():  # pragma: no cover - network entrypoint
     p.add_argument("--spec-k", type=int, default=4)
     p.add_argument("--spec-head-vocab", type=int, default=0)
     p.add_argument("--spec-head-ids", type=str, default=None)
+    # npz from train.draft.save_adapter (depth-checked vs draft layers)
+    p.add_argument("--spec-adapter", type=str, default=None)
     p.add_argument("--model-preset", default="bench")
     p.add_argument("--state-dict-path", default=None)
     p.add_argument("--tokenizer-path", default=None)
@@ -259,6 +268,7 @@ def main():  # pragma: no cover - network entrypoint
         spec_k=args.spec_k,
         spec_head_vocab=args.spec_head_vocab,
         spec_head_ids=_head_ids(args),
+        spec_adapter=_adapter(args),
     )
     asyncio.run(StreamingServer(engine).run(args.host, args.port))
 

@@ -1,0 +1,263 @@
+"""Early-exit draft adapter distillation for speculative decoding.
+
+The layer-skip draft (decode/speculative.py) scores next tokens with the
+target's first d layers + lm_head.  Its acceptance rate — the whole
+speedup (docs/spec_acceptance.json: held-out 0.21-0.41 at d/L 0.25-0.75
+on a trained model) — is limited by how far the layer-d hidden is from
+the final hidden.  This module closes that gap with a small residual
+adapter h -> h + W2 silu(W1 rmsnorm(h)) applied pre-final_ln on the DRAFT
+path only (models/llama.apply_exit_adapter), distilled to match the full
+model's next-token distribution.  The backbone is frozen; the target
+model's own outputs are untouched, and speculative decoding stays exactly
+greedy for any adapter (the verify forward never sees it) — a bad adapter
+only costs acceptance.
+
+Recipe (LayerSkip-style self-distillation, adapter-only):
+  1. ``collect_targets`` — one offline teacher pass caches (h_d, teacher
+     logits) for a batch of token sequences; for a real checkpoint this
+     is an offline feature dump over transcripts (no labels needed).
+  2. ``distill`` — Adam on the adapter alone, KL(teacher || draft)
+     through final_ln + lm_head; reports top-1 agreement (the acceptance
+     proxy) each log interval.
+  3. ``save_adapter`` / ``load_adapter`` — npz with the draft depth d
+     baked in so an adapter can never silently run at the wrong depth.
+
+Distill on SELF-GENERATED text, not (only) corpus text.  The draft is
+queried at rollout positions — contexts the target model itself
+produced — and an adapter fit on teacher-forced corpus text does not
+transfer there (exposure bias).  Measured on the synthetic trained-tiny
+model (docs/spec_acceptance.json adapter rows, tests/test_draft_adapter
+in-distribution test): corpus-teacher-forced distillation reaches
+top-1 agreement ~1.0 on its batch yet leaves production acceptance at
+(or below) the no-adapter level, while distilling on ``rollout_corpus``
+output covering the deployment prompts lifts d=1 acceptance 0.04 ->
+0.47 and tokens/round 1.15 -> 2.87 through the production speculative
+path.  Deployment recipe for a real checkpoint: decode a few hours of
+in-domain transcripts with the target model and distill on those
+outputs — the adapter must see the serving distribution.  (Caveat
+measured at tiny scale: rollouts from *disjoint* random prompts do not
+transfer on this structureless synthetic corpus — there is nothing to
+generalize over; real text shares linguistic structure, which is the
+LayerSkip/EAGLE operating regime.)
+
+The reference has no speculative path; this is a TPU-native extension
+(the decode loop it accelerates replaces transformers greedy_search
+semantics, ref agents/infinisst.py:320-368).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from infinisst_tpu.core.config import LlamaConfig
+from infinisst_tpu.models import llama as llama_mod
+
+Adapter = dict
+
+
+def init_exit_adapter(
+    key: jax.Array, cfg: LlamaConfig, rank: Optional[int] = None,
+    dtype=jnp.float32,
+) -> Adapter:
+    """Zero-output init: the fresh adapter is an exact identity, so
+    plugging it in before training reproduces raw layer-skip behavior
+    bit-for-bit.  ``rank`` defaults to hidden_size/2 (at 8B: D=4096,
+    r=2048 -> 33 MB bf16, ~1.6% of one decoder layer's stream)."""
+    D = cfg.hidden_size
+    r = rank or D // 2
+    return {
+        "ln": jnp.ones((D,), dtype),
+        "w1": (jax.random.normal(key, (D, r), dtype) / np.sqrt(D)),
+        "w2": jnp.zeros((r, D), dtype),
+    }
+
+
+def draft_logits(
+    params, cfg: LlamaConfig, adapter: Optional[Adapter], h_d: jnp.ndarray
+) -> jnp.ndarray:
+    """Draft head over a layer-d hidden: adapter -> final_ln -> lm_head.
+    Mirrors the production draft tail in llama.decode_step exactly."""
+    h = h_d
+    if adapter is not None:
+        h = llama_mod.apply_exit_adapter(adapter, h, cfg.rms_norm_eps)
+    h = llama_mod._rms_norm(h, params["final_ln"], cfg.rms_norm_eps)
+    return h @ params["lm_head"]
+
+
+def collect_targets(
+    params, cfg: LlamaConfig, ids: jnp.ndarray, d: int,
+    attention_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Teacher pass over token ids (B, S): returns (h_d (B, S, D), teacher
+    logits (B, S, V)), both stop-gradiented.  The first d layers are
+    computed once and continued to depth L, not recomputed."""
+    x = llama_mod.embed(params, ids)
+    h_d = llama_mod.offline_hidden(
+        params, cfg, x, attention_mask, num_layers=d
+    )
+    rest = {
+        "layers": jax.tree.map(lambda a: a[d:], params["layers"]),
+    }
+    h_L = llama_mod._offline_scan(
+        rest["layers"], cfg, h_d, attention_mask, remat=False
+    )
+    h_L = llama_mod._rms_norm(h_L, params["final_ln"], cfg.rms_norm_eps)
+    teacher = h_L @ params["lm_head"]
+    return jax.lax.stop_gradient(h_d), jax.lax.stop_gradient(teacher)
+
+
+def rollout_corpus(
+    params, cfg: LlamaConfig, prompts: jnp.ndarray, gen_len: int,
+) -> jnp.ndarray:
+    """Greedy continuations from the TARGET model: (B, P) int32 prompts
+    -> (B, P + gen_len) token ids.  This is the distillation corpus that
+    matches the draft's deployment distribution (the draft is only ever
+    queried at positions the target itself produced) — see the module
+    docstring's exposure-bias note.  Incremental decode (one prefill +
+    gen_len cached steps), jit-compiled per (B, P, gen_len)."""
+    if isinstance(params["lm_head"], dict):
+        raise ValueError("rollout_corpus needs unquantized params")
+    from infinisst_tpu.streaming.state import init_decoder_state
+
+    B, P = prompts.shape
+    dtype = params["lm_head"].dtype
+
+    @jax.jit
+    def run(prompts):
+        st = init_decoder_state(
+            cfg.num_layers, B, P + gen_len + 1, cfg.num_kv_heads,
+            cfg.head_dim, dtype,
+        )
+        lg, st = llama_mod.decode_step(
+            params, cfg, st, llama_mod.embed(params, prompts)
+        )
+        first = jnp.argmax(lg[:, -1, : cfg.vocab_size], -1).astype(jnp.int32)
+
+        def body(carry, _):
+            tok, st = carry
+            lg, st = llama_mod.decode_step(
+                params, cfg, st, llama_mod.embed(params, tok[:, None])
+            )
+            nxt = jnp.argmax(
+                lg[:, -1, : cfg.vocab_size], -1
+            ).astype(jnp.int32)
+            return (nxt, st), tok
+
+        _, toks = jax.lax.scan(body, (first, st), None, length=gen_len)
+        return jnp.concatenate([prompts, toks.T], axis=1)
+
+    return run(jnp.asarray(prompts, jnp.int32))
+
+
+def _loss(adapter, params, cfg, h_d, teacher, mask):
+    lg = draft_logits(params, cfg, adapter, h_d).astype(jnp.float32)
+    t = teacher.astype(jnp.float32)
+    p_t = jax.nn.softmax(t, axis=-1)
+    kl = jnp.sum(
+        p_t * (jax.nn.log_softmax(t, -1) - jax.nn.log_softmax(lg, -1)), -1
+    )
+    denom = jnp.maximum(mask.sum(), 1.0)
+    loss = (kl * mask).sum() / denom
+    agree = (
+        ((jnp.argmax(lg, -1) == jnp.argmax(t, -1)) * mask).sum() / denom
+    )
+    return loss, agree
+
+
+def distill(
+    params,
+    cfg: LlamaConfig,
+    d: int,
+    batches: Iterable[jnp.ndarray],  # (B, S) int32 token ids
+    *,
+    steps: int,
+    lr: float = 1e-3,
+    rank: Optional[int] = None,
+    key: Optional[jax.Array] = None,
+    pad_id: int = -1,
+    log_every: int = 0,
+) -> Tuple[Adapter, list]:
+    """Distill an exit adapter at draft depth ``d``.  ``batches`` is
+    cycled for ``steps`` Adam updates; positions equal to ``pad_id`` are
+    masked out of the loss.  Teacher features are cached per distinct
+    batch object (one teacher pass each), so epochs over a fixed corpus
+    pay the full forward once.
+
+    Returns (adapter, history) with history entries
+    (step, kl, top1_agreement)."""
+    if isinstance(params["lm_head"], dict):
+        raise ValueError(
+            "distill() needs unquantized (bf16/f32) params: the int8 "
+            "activation rounding has zero gradient.  Distill on the "
+            "float checkpoint; the adapter then rides the quantized "
+            "draft path unchanged."
+        )
+    key = jax.random.PRNGKey(0) if key is None else key
+    adapter = init_exit_adapter(key, cfg, rank, jnp.float32)
+    opt = optax.adam(lr)
+    opt_state = opt.init(adapter)
+
+    @jax.jit
+    def teacher_fn(ids, mask):
+        return collect_targets(params, cfg, ids, d, mask)
+
+    @jax.jit
+    def step_fn(adapter, opt_state, h_d, teacher, mask):
+        (loss, agree), grads = jax.value_and_grad(
+            _loss, has_aux=True
+        )(adapter, params, cfg, h_d, teacher, mask)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(adapter, updates), opt_state, loss, agree
+
+    cache = {}
+    batch_list = list(batches)
+    history = []
+    for i in range(steps):
+        ids = batch_list[i % len(batch_list)]
+        bid = id(ids)
+        if bid not in cache:
+            ids = jnp.asarray(ids, jnp.int32)
+            mask = (ids != pad_id).astype(jnp.float32)
+            cache[bid] = (*teacher_fn(ids, mask), mask)
+        h_d, teacher, mask = cache[bid]
+        adapter, opt_state, loss, agree = step_fn(
+            adapter, opt_state, h_d, teacher, mask
+        )
+        if log_every and (i % log_every == 0 or i == steps - 1):
+            history.append((i, float(loss), float(agree)))
+    return adapter, history
+
+
+def save_adapter(path: str, adapter: Adapter, d: int) -> None:
+    """npz with the draft depth baked in (load_adapter validates it)."""
+    np.savez(
+        path,
+        ln=np.asarray(adapter["ln"]),
+        w1=np.asarray(adapter["w1"]),
+        w2=np.asarray(adapter["w2"]),
+        draft_layers=np.int32(d),
+    )
+
+
+def load_adapter(
+    path: str, expect_d: Optional[int] = None, dtype=None
+) -> Adapter:
+    """Load an adapter npz; refuses a depth mismatch (an adapter trained
+    at d=4 applied at d=8 would silently halve acceptance)."""
+    z = np.load(path)
+    d = int(z["draft_layers"])
+    if expect_d is not None and d != expect_d:
+        raise ValueError(
+            f"adapter {path} was distilled for draft_layers={d}, but the "
+            f"decoder is configured with draft_layers={expect_d}"
+        )
+    out = {k: jnp.asarray(z[k]) for k in ("ln", "w1", "w2")}
+    if dtype is not None:
+        out = jax.tree.map(lambda a: a.astype(dtype), out)
+    return out

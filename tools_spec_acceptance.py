@@ -14,6 +14,21 @@ through the PRODUCTION path (decode/speculative.speculative_greedy):
   - acceptance rate per draft depth d/L in {1/4, 2/4, 3/4, 4/4}
   - emitted tokens per verify round (the speedup driver: each round costs
     one draft stream * k + one verify stream)
+  - the same with a distilled early-exit adapter (train/draft.py) at
+    d=1 and d=2, in three distillation regimes:
+      adapter(corpus-TF)  — teacher-forced corpus text: the exposure-
+                            bias negative control (agreement ~1.0 on its
+                            batch, production acceptance does NOT rise)
+      adapter(rollout)    — self-generated text covering the measured
+                            prompts (the deployable recipe: distill on
+                            the target's own decoded transcripts) — the
+                            in-distribution acceptance lift
+      adapter(rollout-x)  — self-generated text from DISJOINT prompts:
+                            on this structureless synthetic corpus there
+                            is nothing to generalize over, so the lift
+                            does not transfer (tiny-scale caveat; real
+                            text shares linguistic structure)
+    plus adapter(rollout) composed with the ranked shortlist
   - the same with a shortlist draft head (make_draft_head) at 1/4 and
     1/8 vocab width, in TWO modes: "prefix" (first ids — on this
     synthetic corpus the token ids are uniform, so this is the
@@ -40,7 +55,7 @@ into "acceptance at d/L=0.5 on a trained model = X".
 
 Usage:  JAX_PLATFORMS=cpu python tools_spec_acceptance.py \
             [--steps 600] [--json docs/spec_acceptance.json]
-Runs on CPU in ~3 min.
+Runs on CPU in ~8 min (6 adapter distillations dominate).
 """
 
 from __future__ import annotations
@@ -70,11 +85,11 @@ _JIT_CACHE = {}
 
 
 def run_spec(params, prompt, d: int, k: int, head_vocab: int = 0,
-             head_ids=None):
+             head_ids=None, adapter=None, adapter_tag=""):
     """One speculative_greedy rollout; returns (tokens, rounds, drafted,
     accepted).  The jitted closure is cached per (d, k, hv, prompt_len)
     so the 6 streams of a split share one compile."""
-    key = (d, k, head_vocab, prompt.shape[0],
+    key = (d, k, head_vocab, prompt.shape[0], adapter_tag,
            None if head_ids is None else tuple(np.asarray(head_ids)))
     if key not in _JIT_CACHE:
         spec = SpecSpec(
@@ -93,6 +108,7 @@ def run_spec(params, prompt, d: int, k: int, head_vocab: int = 0,
                 params, CFG, st, first, prompt,
                 jnp.asarray(prompt.shape[0], jnp.int32), hist,
                 jnp.asarray(0, jnp.int32), spec, draft_head=dh,
+                exit_adapter=adapter,
             )
 
         _JIT_CACHE[key] = fn
@@ -111,6 +127,7 @@ def run_spec(params, prompt, d: int, k: int, head_vocab: int = 0,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--distill-steps", type=int, default=400)
     ap.add_argument("--json", type=str, default=None)
     args = ap.parse_args()
 
@@ -153,6 +170,37 @@ def main():
     for hv in (CFG.vocab_size // 4, CFG.vocab_size // 8):
         variants += [("prefix", hv), ("ranked", hv)]
 
+    def measure(d, k, hv, mode, head_ids=None, adapter=None, tag_a=""):
+        row = {
+            "d_over_L": round(d / CFG.num_layers, 2),
+            "draft_layers": d, "draft_k": k,
+            "head_vocab": hv or CFG.vocab_size,
+            "head_mode": mode,
+        }
+        for tag, prompts in (("teach", teach), ("held", held)):
+            rounds = drafted = accepted = emitted = 0
+            match = []
+            for p, ref in zip(prompts, refs[tag]):
+                toks, r, dr, ac = run_spec(
+                    params, p, d, k, hv, head_ids=head_ids,
+                    adapter=adapter, adapter_tag=tag_a,
+                )
+                assert len(toks) == G, (d, k, hv, toks)
+                match.append(next(
+                    (i for i, (a, b) in enumerate(zip(toks, ref))
+                     if a != b),
+                    G,
+                ))
+                rounds += r
+                drafted += dr
+                accepted += ac
+                emitted += len(toks)
+            row[f"{tag}_accept_rate"] = round(accepted / drafted, 4)
+            row[f"{tag}_tok_per_round"] = round(emitted / rounds, 3)
+            row[f"{tag}_greedy_prefix_match"] = match
+        results["rows"].append(row)
+        print(json.dumps(row), file=sys.stderr)
+
     for d in (1, 2, 3, 4):
         for k in (4, 9):
             for mode, hv in variants:
@@ -160,34 +208,56 @@ def main():
                     jnp.asarray(ranked[:hv]) if mode == "ranked" and hv
                     else None
                 )
-                row = {
-                    "d_over_L": round(d / CFG.num_layers, 2),
-                    "draft_layers": d, "draft_k": k,
-                    "head_vocab": hv or CFG.vocab_size,
-                    "head_mode": mode,
-                }
-                for tag, prompts in (("teach", teach), ("held", held)):
-                    rounds = drafted = accepted = emitted = 0
-                    match = []
-                    for p, ref in zip(prompts, refs[tag]):
-                        toks, r, dr, ac = run_spec(
-                            params, p, d, k, hv, head_ids=head_ids
-                        )
-                        assert len(toks) == G, (d, k, hv, toks)
-                        match.append(next(
-                            (i for i, (a, b) in enumerate(zip(toks, ref))
-                             if a != b),
-                            G,
-                        ))
-                        rounds += r
-                        drafted += dr
-                        accepted += ac
-                        emitted += len(toks)
-                    row[f"{tag}_accept_rate"] = round(accepted / drafted, 4)
-                    row[f"{tag}_tok_per_round"] = round(emitted / rounds, 3)
-                    row[f"{tag}_greedy_prefix_match"] = match
-                results["rows"].append(row)
-                print(json.dumps(row), file=sys.stderr)
+                measure(d, k, hv, mode, head_ids=head_ids)
+
+    # distilled early-exit adapter (train/draft.py) in three regimes
+    # (draft-only — exactness untouched in all of them); see the module
+    # docstring for what each regime demonstrates
+    from infinisst_tpu.train import draft as DR
+
+    # rollout corpora: greedy continuations from the target model —
+    # "rollout" covers the measured prompts (deployment analogue:
+    # distill on the model's own decoded transcripts), "rollout-x" uses
+    # disjoint prompts (the transfer caveat)
+    roll_in = [
+        DR.rollout_corpus(params, CFG, jnp.stack(teach), G),
+        DR.rollout_corpus(params, CFG, jnp.stack(held), G),
+    ]
+    xfer_prompts = jnp.asarray(
+        np.stack([
+            make_corpus(np.random.RandomState(300 + i), 1, 8)[0]
+            for i in range(12)
+        ])
+    )
+    roll_x = [DR.rollout_corpus(params, CFG, xfer_prompts, G)]
+
+    for d in (1, 2):
+        hv = CFG.vocab_size // 4
+        regimes = (
+            ("adapter(corpus-TF)", [corpus[:, :48]]),
+            ("adapter(rollout)", roll_in),
+            ("adapter(rollout-x)", roll_x),
+        )
+        for mode, batches in regimes:
+            print(f"distilling exit adapter d={d} {mode}...",
+                  file=sys.stderr)
+            adapter, hist_log = DR.distill(
+                params, CFG, d, batches, steps=args.distill_steps,
+                lr=2e-3, key=jax.random.PRNGKey(40 + d), log_every=100,
+            )
+            results[f"distill_d{d}_{mode}"] = [
+                {"step": s, "kl": round(l, 4), "top1_agree": round(a, 4)}
+                for s, l, a in hist_log
+            ]
+            tag_a = f"d{d}-{mode}"
+            for k in (4, 9):
+                measure(d, k, 0, mode, adapter=adapter, tag_a=tag_a)
+            if mode == "adapter(rollout)":
+                measure(
+                    d, 4, hv, "adapter(rollout)+ranked",
+                    head_ids=jnp.asarray(ranked[:hv]), adapter=adapter,
+                    tag_a=tag_a,
+                )
 
     print(json.dumps(results, indent=2))
     if args.json:
