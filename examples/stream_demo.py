@@ -53,6 +53,11 @@ def main():
     ap.add_argument("--spec-draft-layers", type=int, default=1)
     ap.add_argument("--spec-k", type=int, default=4)
     ap.add_argument("--spec-head-vocab", type=int, default=0)
+    # sampling decode; combined with --speculative it runs speculative
+    # SAMPLING (exact in distribution, decode/speculative.py)
+    ap.add_argument("--do-sample", action="store_true")
+    ap.add_argument("--temperature", type=float, default=1.0)
+    ap.add_argument("--top-k", type=int, default=0)
     args = ap.parse_args()
 
     import jax
@@ -80,6 +85,9 @@ def main():
         spec_draft_layers=args.spec_draft_layers,
         spec_k=args.spec_k,
         spec_head_vocab=args.spec_head_vocab,
+        do_sample=args.do_sample,
+        temperature=args.temperature,
+        top_k=args.top_k,
     )
     agent = InfiniSSTAgent(params, cfg, stream, builder, opts,
                            param_dtype=jnp.float32)

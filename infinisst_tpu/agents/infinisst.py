@@ -295,23 +295,41 @@ class InfiniSSTAgent(SpeechToTextAgent):
         do_sample = self.opts.do_sample
         speculative = self.opts.speculative
         if speculative:
-            if do_sample:
-                raise ValueError(
-                    "speculative decoding is greedy-exact; it cannot be "
-                    "combined with --do-sample"
-                )
             from infinisst_tpu.decode import speculative as spec_mod
 
-            sp_spec = spec_mod.SpecSpec(
-                max_new_tokens=self.max_new,
-                eos_id=self.cfg.tokens.eos,
-                pad_id=self.cfg.tokens.pad,
-                draft_layers=self.opts.spec_draft_layers,
-                draft_k=self.opts.spec_k,
-                no_repeat_ngram_size=self.opts.no_repeat_ngram_size,
-                repetition_penalty=self.opts.repetition_penalty,
-                accept_all=self.opts.spec_accept_all,
-            )
+            if do_sample:
+                # speculative SAMPLING: exact in distribution vs the
+                # sample_decode path (same processed target law), the
+                # draft only moves speed (decode/speculative.py)
+                if self.opts.spec_accept_all:
+                    raise ValueError(
+                        "--spec-accept-all is a greedy bench mode; it has "
+                        "no sampling counterpart"
+                    )
+                sp_spec = spec_mod.SpecSampleSpec(
+                    max_new_tokens=self.max_new,
+                    eos_id=self.cfg.tokens.eos,
+                    pad_id=self.cfg.tokens.pad,
+                    draft_layers=self.opts.spec_draft_layers,
+                    draft_k=self.opts.spec_k,
+                    temperature=self.opts.temperature,
+                    top_k=self.opts.top_k,
+                    top_p=self.opts.top_p,
+                    epsilon_cutoff=self.opts.epsilon_cutoff,
+                    no_repeat_ngram_size=self.opts.no_repeat_ngram_size,
+                    repetition_penalty=self.opts.repetition_penalty,
+                )
+            else:
+                sp_spec = spec_mod.SpecSpec(
+                    max_new_tokens=self.max_new,
+                    eos_id=self.cfg.tokens.eos,
+                    pad_id=self.cfg.tokens.pad,
+                    draft_layers=self.opts.spec_draft_layers,
+                    draft_k=self.opts.spec_k,
+                    no_repeat_ngram_size=self.opts.no_repeat_ngram_size,
+                    repetition_penalty=self.opts.repetition_penalty,
+                    accept_all=self.opts.spec_accept_all,
+                )
         if do_sample:
             sspec = beam_mod.SampleSpec(
                 max_new_tokens=self.max_new,
@@ -371,7 +389,7 @@ class InfiniSSTAgent(SpeechToTextAgent):
             last_logits = jax.lax.dynamic_index_in_dim(
                 logits[0], pend_n + S - 1, axis=0, keepdims=False
             )
-            if do_sample:
+            if do_sample and not speculative:
                 res = beam_mod.sample_decode(
                     params["llama"],
                     cfg.llama,
@@ -389,7 +407,12 @@ class InfiniSSTAgent(SpeechToTextAgent):
             elif speculative:
                 from infinisst_tpu.decode import speculative as spec_mod
 
-                res = spec_mod.speculative_greedy(
+                fn = (
+                    spec_mod.speculative_sample
+                    if do_sample else spec_mod.speculative_greedy
+                )
+                extra_rng = {"rng": rng} if do_sample else {}
+                res = fn(
                     params["llama"],
                     cfg.llama,
                     dec2,
@@ -403,6 +426,7 @@ class InfiniSSTAgent(SpeechToTextAgent):
                     suppress_mask=suppress,
                     draft_head=params.get("spec_draft_head"),
                     exit_adapter=params.get("spec_adapter"),
+                    **extra_rng,
                 )
             else:
                 res = beam_mod.beam_search(
