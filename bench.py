@@ -149,6 +149,21 @@ def main():
                 if "--spec-head-vocab" in sys.argv else 0
             ),
         )
+        if "--spec-lowrank-rank" in sys.argv:
+            # random low-rank draft-head factors (machinery row: with
+            # random bench weights acceptance is ~0 either way, so this
+            # measures the draft-step cost cut of streaming r*(D+V)
+            # factor bytes instead of the D*V head; created on device —
+            # a host SVD would need a 0.5 GB fetch over the tunnel)
+            r = int(sys.argv[sys.argv.index("--spec-lowrank-rank") + 1])
+            D, V = cfg.llama.hidden_size, cfg.llama.vocab_size
+            kl = jax.random.PRNGKey(11)
+            spec_kw["spec_lowrank_head"] = {
+                "a": jax.random.normal(kl, (D, r), dtype) / (D ** 0.5),
+                "b": jax.random.normal(
+                    jax.random.fold_in(kl, 1), (r, V), dtype
+                ) / (r ** 0.5),
+            }
         if "--spec-adapter-rank" in sys.argv:
             # random early-exit adapter (train/draft.py shape): with
             # random bench weights acceptance is ~0 either way, so this
@@ -165,6 +180,21 @@ def main():
                     jax.random.fold_in(ka, 1), (r, D), dtype
                 ) * 0.02,
             }
+    if "--do-sample" in sys.argv:
+        # sampling decode; with --speculative this is speculative
+        # SAMPLING (exact in distribution, decode/speculative.py) — the
+        # row measures its machinery cost on the DPO-collection path
+        spec_kw.update(
+            do_sample=True,
+            temperature=(
+                float(sys.argv[sys.argv.index("--temperature") + 1])
+                if "--temperature" in sys.argv else 1.0
+            ),
+            top_k=(
+                int(sys.argv[sys.argv.index("--top-k") + 1])
+                if "--top-k" in sys.argv else 0
+            ),
+        )
     opts = InfiniSSTOptions(
         latency_multiplier=multiplier,
         beam=4,
@@ -265,10 +295,15 @@ def main():
     baseline_rtf = {1: 0.382, 2: 0.286, 3: 0.250, 4: 0.235}[multiplier]
     if spec_on:
         mode_tag = "spec" + (
+            "_sample" if opts.do_sample else ""
+        ) + (
             "_acceptall" if opts.spec_accept_all else ""
         ) + f"_d{opts.spec_draft_layers}k{opts.spec_k}" + (
             f"_hv{opts.spec_head_vocab // 1000}k"
             if opts.spec_head_vocab else ""
+        ) + (
+            f"_lr{opts.spec_lowrank_head['a'].shape[1]}"
+            if opts.spec_lowrank_head is not None else ""
         ) + (
             f"_ada{opts.spec_adapter['w1'].shape[1]}"
             if opts.spec_adapter is not None else ""
@@ -298,8 +333,9 @@ def main():
             file=sys.stderr,
         )
         return
+    dec_tag = "sample" if opts.do_sample else "beam4"
     result = {
-        "metric": f"streaming_rtf_m{multiplier}_beam4_{tag}",
+        "metric": f"streaming_rtf_m{multiplier}_{dec_tag}_{tag}",
         "value": round(rtf, 4),
         "unit": "rtf",
         "vs_baseline": round(baseline_rtf / rtf, 3),

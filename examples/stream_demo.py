@@ -53,6 +53,9 @@ def main():
     ap.add_argument("--spec-draft-layers", type=int, default=1)
     ap.add_argument("--spec-k", type=int, default=4)
     ap.add_argument("--spec-head-vocab", type=int, default=0)
+    # truncated-SVD low-rank draft head built from the demo model's own
+    # lm_head at init (exact; acceptance-only cost)
+    ap.add_argument("--spec-lowrank-rank", type=int, default=0)
     # sampling decode; combined with --speculative it runs speculative
     # SAMPLING (exact in distribution, decode/speculative.py)
     ap.add_argument("--do-sample", action="store_true")
@@ -85,6 +88,7 @@ def main():
         spec_draft_layers=args.spec_draft_layers,
         spec_k=args.spec_k,
         spec_head_vocab=args.spec_head_vocab,
+        spec_lowrank_rank=args.spec_lowrank_rank,
         do_sample=args.do_sample,
         temperature=args.temperature,
         top_k=args.top_k,

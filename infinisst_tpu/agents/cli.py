@@ -80,6 +80,12 @@ def add_args(p: argparse.ArgumentParser):
     # --spec-adapter: npz from train.draft.save_adapter (distilled
     # early-exit adapter; depth-checked against --spec-draft-layers)
     p.add_argument("--spec-adapter", type=str, default=None)
+    # low-rank draft head (exact; verify keeps the full head):
+    # --spec-lowrank-rank builds truncated-SVD factors from the loaded
+    # lm_head at startup; --spec-lowrank-head loads prebuilt factors
+    # (npz with arrays 'a' (D, r) and 'b' (r, V))
+    p.add_argument("--spec-lowrank-rank", type=int, default=0)
+    p.add_argument("--spec-lowrank-head", type=str, default=None)
     p.add_argument("--do-sample", action="store_true")
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top-k", type=int, default=0)
@@ -147,6 +153,21 @@ def _load_head_ids(path, head_vocab, np):
             f"{head_vocab} ids, got shape {ids.shape}"
         )
     return ids[:head_vocab]
+
+
+def _load_lowrank_head(args, np):
+    """--spec-lowrank-head npz -> {'a','b'} factor dict (or None)."""
+    path = getattr(args, "spec_lowrank_head", None)
+    if not path:
+        return None
+    if not args.speculative:
+        raise SystemExit("--spec-lowrank-head requires --speculative")
+    z = np.load(path)
+    if "a" not in z or "b" not in z:
+        raise SystemExit(
+            f"{path} must contain arrays 'a' (D, r) and 'b' (r, V)"
+        )
+    return {"a": z["a"], "b": z["b"]}
 
 
 def _load_adapter(args):
@@ -260,6 +281,8 @@ def build_agent(args):
             args.spec_head_ids, args.spec_head_vocab, np
         ),
         spec_adapter=_load_adapter(args),
+        spec_lowrank_rank=args.spec_lowrank_rank,
+        spec_lowrank_head=_load_lowrank_head(args, np),
         do_sample=args.do_sample,
         temperature=args.temperature,
         top_k=args.top_k,

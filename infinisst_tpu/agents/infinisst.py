@@ -102,6 +102,17 @@ class InfiniSSTOptions:
     # either way (decode/speculative.make_draft_head).
     spec_head_vocab: int = 0
     spec_head_ids: Optional[np.ndarray] = None
+    # low-rank draft head (decode/speculative.make_lowrank_draft_head):
+    # the draft scores the FULL vocab through truncated-SVD factors
+    # A (D, r) @ B (r, V), cutting the dominant draft-step head stream
+    # ~D/r x.  Exact either way (verify keeps the full head).
+    # spec_lowrank_rank builds the factors at init by SVD of the model's
+    # own lm_head (host-side; use on CPU-loaded checkpoints);
+    # spec_lowrank_head supplies prebuilt {'a','b'} factors directly
+    # (benchmarks / precomputed npz).  Mutually exclusive with
+    # spec_head_vocab and with each other.
+    spec_lowrank_rank: int = 0
+    spec_lowrank_head: Optional[dict] = None
     # distilled early-exit adapter (train/draft.py): raises the draft's
     # acceptance at small spec_draft_layers without touching the
     # backbone; draft-only, so emissions stay exactly greedy.  A dict
@@ -144,6 +155,45 @@ class InfiniSSTAgent(SpeechToTextAgent):
                 params["llama"]["lm_head"], opts.spec_head_vocab,
                 ids=opts.spec_head_ids,
             )
+        if opts.speculative and (
+            opts.spec_lowrank_rank or opts.spec_lowrank_head is not None
+        ):
+            if opts.spec_head_vocab:
+                raise ValueError(
+                    "spec_lowrank_* and spec_head_vocab are mutually "
+                    "exclusive draft-head choices"
+                )
+            if opts.spec_lowrank_rank and opts.spec_lowrank_head is not None:
+                raise ValueError(
+                    "pass spec_lowrank_rank (build by SVD at init) OR "
+                    "spec_lowrank_head (prebuilt factors), not both"
+                )
+            params = dict(params)
+            if opts.spec_lowrank_head is not None:
+                w = opts.spec_lowrank_head
+                D = model_cfg.llama.hidden_size
+                if w["a"].shape[0] != D or (
+                    w["a"].shape[1] != w["b"].shape[0]
+                ):
+                    raise ValueError(
+                        f"spec_lowrank_head factor shapes "
+                        f"{w['a'].shape} x {w['b'].shape} do not chain "
+                        f"from hidden size {D}"
+                    )
+                params["spec_draft_head"] = {
+                    "w": jax.tree.map(
+                        lambda a: jnp.asarray(a, param_dtype), w
+                    )
+                }
+            else:
+                from infinisst_tpu.decode.speculative import (
+                    make_lowrank_draft_head,
+                )
+
+                params["spec_draft_head"] = make_lowrank_draft_head(
+                    params["llama"]["lm_head"], opts.spec_lowrank_rank,
+                    dtype=param_dtype,
+                )
         if opts.speculative and opts.spec_adapter is not None:
             D = model_cfg.llama.hidden_size
             if opts.spec_adapter["ln"].shape != (D,):

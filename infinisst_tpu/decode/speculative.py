@@ -125,8 +125,8 @@ def make_draft_head(lm_head, head_vocab: int, ids=None):
 def _draft_setup(params, cfg, d, draft_head, exit_adapter):
     """Build the draft's (params, cfg, shortlist) triple shared by the
     greedy and sampling speculative decoders: first ``d`` target layers
-    (+ optional distilled exit adapter), full or shortlist lm_head.
-    Returns (params_d, cfg_d, head_ids, head_prefix)."""
+    (+ optional distilled exit adapter), full / shortlist / low-rank
+    lm_head.  Returns (params_d, cfg_d, head_ids, head_prefix)."""
     params_d = {
         "embed": params["embed"],
         "layers": jax.tree.map(lambda a: a[:d], params["layers"]),
@@ -142,12 +142,23 @@ def _draft_setup(params, cfg, d, draft_head, exit_adapter):
         head_ids = None
         head_prefix = False
     else:
-        # key choice is static pytree structure: 'prefix' selects the
-        # pad re-entry, 'ids' the scatter re-entry (make_draft_head)
+        # kind is static pytree structure: 'prefix' selects the pad
+        # re-entry, 'ids' the scatter re-entry (make_draft_head);
+        # neither = a full-vocab REPLACEMENT head (low-rank factors,
+        # make_lowrank_draft_head) needing no re-entry at all
         head_prefix = "prefix" in draft_head
-        head_ids = draft_head["prefix"] if head_prefix else draft_head["ids"]
+        if head_prefix:
+            head_ids = draft_head["prefix"]
+        elif "ids" in draft_head:
+            head_ids = draft_head["ids"]
+        else:
+            head_ids = None
         cfg_d = dataclasses.replace(
-            cfg, num_layers=d, vocab_size=head_ids.shape[0]
+            cfg, num_layers=d,
+            vocab_size=(
+                head_ids.shape[0] if head_ids is not None
+                else cfg.vocab_size
+            ),
         )
         params_d["lm_head"] = draft_head["w"]
     return params_d, cfg_d, head_ids, head_prefix
@@ -169,6 +180,59 @@ def _shortlist_reenter(lg_last, head_ids, head_prefix, V):
         ).astype(lg_last.dtype)
     scores = jnp.full((B, V), -jnp.inf, lg_last.dtype)
     return scores.at[:, head_ids].set(lg_last)
+
+
+def dequant_head(lm_head):
+    """Any lm_head layout -> dense float32 numpy (D, V) on the host.
+    Layouts: plain array; weight-only {'q','scale'(V,)}; W8A8
+    {'q','scale_a8'(V,)}; grouped W8A8 {'q','scale_a8'(Gr, V)} (padded
+    vocab columns carry zero scales and dequantize to zero)."""
+    import numpy as np
+
+    if not isinstance(lm_head, dict):
+        return np.asarray(jax.device_get(lm_head), np.float32)
+    q = np.asarray(jax.device_get(lm_head["q"]), np.float32)
+    s = np.asarray(
+        jax.device_get(lm_head.get("scale_a8", lm_head.get("scale"))),
+        np.float32,
+    )
+    if s.ndim == 1:  # per-out-channel
+        return q * s[None, :]
+    Gr, V = s.shape  # per-(input-group, out-channel)
+    D = q.shape[0]
+    return (q.reshape(Gr, D // Gr, V) * s[:, None, :]).reshape(D, V)
+
+
+def make_lowrank_draft_head(lm_head, rank: int, dtype=None):
+    """Truncated-SVD low-rank DRAFT-ONLY lm_head: W ~= A @ B with
+    A (D, r), B (r, V).  The draft's head stream shrinks from D*V bytes
+    to r*(D+V) — at 8B-int8 the full 0.53 GB head dominates draft cost
+    (ARCHITECTURE.md optimization log / docs/spec_decompose.json); r=512
+    bf16 factors stream 0.14 GB, a ~4x head cut.  Exactness is untouched
+    for both greedy and sampling speculative decoding: verify uses the
+    full head, so truncation error only costs acceptance.
+
+    Computed via the D x D Gram matrix (D << V): the top-r eigenvectors
+    U of W @ W^T give the best rank-r factorization A = U,
+    B = U^T @ W (Eckart-Young).  One-time host-side cost: one (D, D, V)
+    GEMM + a (D, D) eigh — minutes at 8B scale, done at load time.
+    Quantized layouts are dequantized first (``dequant_head``).
+
+    Returns {'w': {'a': (D, r), 'b': (r, V)}} — a full-vocab replacement
+    head (no shortlist re-entry; models/quant.mm dispatches the factored
+    matmul)."""
+    import numpy as np
+
+    w = dequant_head(lm_head)
+    D = w.shape[0]
+    if not (0 < rank <= D):
+        raise ValueError(f"rank must be in (0, {D}], got {rank}")
+    g = w @ w.T  # (D, D)
+    _, evecs = np.linalg.eigh(g)  # ascending eigenvalues
+    u = evecs[:, -rank:]  # (D, r) top singular subspace
+    dt = dtype or (jnp.bfloat16 if isinstance(lm_head, dict)
+                   else lm_head.dtype)
+    return {"w": {"a": jnp.asarray(u, dt), "b": jnp.asarray(u.T @ w, dt)}}
 
 
 class SpecResult(NamedTuple):

@@ -44,6 +44,12 @@ def mm(y: jnp.ndarray, w, interpret: bool = False) -> jnp.ndarray:
                          matters at very wide outputs (the 128k lm_head,
                          where the VPU dequant cost exceeded the bandwidth
                          saving)."""
+    if isinstance(w, dict) and "a" in w:
+        # low-rank factored weight W ~= A @ B (speculative draft heads,
+        # decode/speculative.make_lowrank_draft_head): two skinny matmuls
+        # stream r*(D+V) bytes instead of D*V — at the 128k-wide lm_head
+        # this is the dominant draft-step cost
+        return mm(mm(y, w["a"]), w["b"])
     if not is_quantized(w):
         return y @ w
     shape = y.shape

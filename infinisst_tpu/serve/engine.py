@@ -98,7 +98,31 @@ class ServingEngine:
         spec_adapter: Optional[dict] = None,  # distilled early-exit
         # adapter (train/draft.py load_adapter) — draft-only, exactness
         # untouched; raises acceptance at small spec_draft_layers
+        spec_lowrank_rank: int = 0,  # low-rank draft head via SVD at init
+        spec_lowrank_head: Optional[dict] = None,  # prebuilt {'a','b'}
     ):
+        if speculative and (spec_lowrank_rank or spec_lowrank_head):
+            if spec_head_vocab:
+                raise ValueError(
+                    "spec_lowrank_* and spec_head_vocab are mutually "
+                    "exclusive draft-head choices"
+                )
+            params = dict(params)
+            if spec_lowrank_head is not None:
+                params["spec_draft_head"] = {
+                    "w": jax.tree.map(
+                        lambda a: jnp.asarray(a, dtype), spec_lowrank_head
+                    )
+                }
+            else:
+                from infinisst_tpu.decode.speculative import (
+                    make_lowrank_draft_head,
+                )
+
+                params["spec_draft_head"] = make_lowrank_draft_head(
+                    params["llama"]["lm_head"], spec_lowrank_rank,
+                    dtype=dtype,
+                )
         if speculative and spec_head_vocab:
             from infinisst_tpu.decode.speculative import make_draft_head
 

@@ -141,6 +141,15 @@ def _adapter(args):
     return _load_adapter(args)
 
 
+def _lowrank(args):
+    """Validated --spec-lowrank-head loading (same rules as cli.py)."""
+    import numpy as np
+
+    from infinisst_tpu.agents.cli import _load_lowrank_head
+
+    return _load_lowrank_head(args, np)
+
+
 def main():  # pragma: no cover - network entrypoint
     p = argparse.ArgumentParser()
     p.add_argument("--host", default="127.0.0.1")
@@ -170,6 +179,10 @@ def main():  # pragma: no cover - network entrypoint
     p.add_argument("--spec-head-ids", type=str, default=None)
     # npz from train.draft.save_adapter (depth-checked vs draft layers)
     p.add_argument("--spec-adapter", type=str, default=None)
+    # low-rank draft head: rank builds SVD factors from the loaded
+    # lm_head; path loads prebuilt {'a','b'} factors (exact either way)
+    p.add_argument("--spec-lowrank-rank", type=int, default=0)
+    p.add_argument("--spec-lowrank-head", type=str, default=None)
     p.add_argument("--model-preset", default="bench")
     p.add_argument("--state-dict-path", default=None)
     p.add_argument("--tokenizer-path", default=None)
@@ -269,6 +282,8 @@ def main():  # pragma: no cover - network entrypoint
         spec_head_vocab=args.spec_head_vocab,
         spec_head_ids=_head_ids(args),
         spec_adapter=_adapter(args),
+        spec_lowrank_rank=args.spec_lowrank_rank,
+        spec_lowrank_head=_lowrank(args),
     )
     asyncio.run(StreamingServer(engine).run(args.host, args.port))
 

@@ -305,6 +305,116 @@ def test_make_draft_head_layouts_and_gather_equivalence():
     )
 
 
+def test_lowrank_draft_head_exact():
+    """Low-rank draft head (truncated-SVD factors): emissions must be
+    the exact greedy sequence for ANY rank — full rank reproduces the
+    head's logits, a tiny lossy rank only costs acceptance."""
+    from infinisst_tpu.decode.speculative import (
+        dequant_head, make_draft_head, make_lowrank_draft_head,
+    )
+    from infinisst_tpu.models import quant
+
+    params, prompt, dec0, first = setup(4)
+    hist = jnp.full((16,), PAD, jnp.int32)
+    hlen = jnp.zeros((), jnp.int32)
+    ref, _ = seq_greedy(
+        params, prompt, jax.tree.map(jnp.copy, dec0), first, -1, hist,
+        hlen,
+    )
+    spec = SpecSpec(
+        max_new_tokens=G, eos_id=-1, pad_id=PAD, draft_layers=2,
+        draft_k=4, no_repeat_ngram_size=NGRAM, repetition_penalty=REP,
+    )
+
+    w = params["lm_head"]
+    D = CFG.hidden_size
+    accepted = {}
+    for rank in (D, 8):
+        dh = make_lowrank_draft_head(w, rank)
+        assert dh["w"]["a"].shape == (D, rank)
+        assert dh["w"]["b"].shape == (rank, CFG.vocab_size)
+        # a full-vocab replacement head: no shortlist re-entry keys
+        assert "prefix" not in dh and "ids" not in dh
+        res = speculative_greedy(
+            params, CFG, jax.tree.map(jnp.copy, dec0), first, prompt,
+            jnp.asarray(len(prompt), jnp.int32), hist, hlen, spec,
+            encoder_ngram_size=NGRAM, draft_head=dh,
+        )
+        assert res.tokens[: int(res.n_tokens)].tolist() == ref, rank
+        accepted[rank] = int(res.accepted)
+
+    # full-rank factors reconstruct the head exactly (Eckart-Young with
+    # r = D), so acceptance equals the factor-free draft's
+    base = speculative_greedy(
+        params, CFG, jax.tree.map(jnp.copy, dec0), first, prompt,
+        jnp.asarray(len(prompt), jnp.int32), hist, hlen, spec,
+        encoder_ngram_size=NGRAM,
+    )
+    assert accepted[D] == int(base.accepted)
+    dh_full = make_lowrank_draft_head(w, D)
+    np.testing.assert_allclose(
+        np.asarray(dh_full["w"]["a"] @ dh_full["w"]["b"]),
+        np.asarray(w), rtol=1e-4, atol=1e-4,
+    )
+
+    # the factored mm dispatch
+    y = jax.random.normal(jax.random.PRNGKey(3), (2, D), jnp.float32)
+    got = quant.mm(y, dh_full["w"])
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray((y @ dh_full["w"]["a"])
+                                    @ dh_full["w"]["b"]), rtol=1e-6,
+    )
+
+    # dequant_head handles every quantized layout
+    from infinisst_tpu.kernels.quant_matmul import quantize_weight
+
+    q, s = quantize_weight(w, axis=0)
+    for layout in (
+        {"q": q, "scale": s},
+        {"q": q, "scale_a8": s.astype(jnp.float32)},
+    ):
+        back = dequant_head(layout)
+        np.testing.assert_allclose(
+            back, np.asarray(w), atol=2.0 / 127 * float(jnp.abs(w).max())
+        )
+    qg, sg = quant._quantize_grouped(w, 16)
+    back = dequant_head({"q": qg, "scale_a8": sg.astype(jnp.float32)})
+    np.testing.assert_allclose(
+        back, np.asarray(w), atol=2.0 / 127 * float(jnp.abs(w).max())
+    )
+
+
+def test_lowrank_draft_head_through_agent():
+    """spec_lowrank_rank at agent init (SVD of the model's own head):
+    streamed emissions identical to the factor-free speculative agent."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tests")
+    from test_agent import make_agent
+
+    outs = {}
+    for kw in ({}, {"spec_lowrank_rank": 12}):
+        agent = make_agent(speculative=True, spec_draft_layers=1,
+                           spec_k=3, **kw)
+        rng = np.random.RandomState(5)
+        for i in range(3):
+            agent.push(rng.randn(agent.chunk_samples).astype(np.float32)
+                       * 0.1, finished=(i == 2))
+        outs[bool(kw)] = list(agent.states.target_ids)
+    assert outs[False] == outs[True]
+    assert len(outs[False]) > 0
+    # misconfiguration guards
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        make_agent(speculative=True, spec_lowrank_rank=8,
+                   spec_head_vocab=32)
+    with _pytest.raises(ValueError, match="not both"):
+        make_agent(speculative=True, spec_lowrank_rank=8,
+                   spec_lowrank_head={"a": np.zeros((1, 1)),
+                                      "b": np.zeros((1, 1))})
+
+
 def test_spec_row_cap_above_G_binds_to_G():
     """A caller passing row_max_new > max_new_tokens (the serve engine's
     pre-fix behaviour) must get exactly the G-capped greedy sequence —

@@ -72,6 +72,7 @@ import jax.numpy as jnp
 from infinisst_tpu.decode.speculative import (
     SpecSpec,
     make_draft_head,
+    make_lowrank_draft_head,
     speculative_greedy,
 )
 from infinisst_tpu.models import llama as L
@@ -85,21 +86,26 @@ _JIT_CACHE = {}
 
 
 def run_spec(params, prompt, d: int, k: int, head_vocab: int = 0,
-             head_ids=None, adapter=None, adapter_tag=""):
+             head_ids=None, adapter=None, adapter_tag="",
+             lowrank: int = 0):
     """One speculative_greedy rollout; returns (tokens, rounds, drafted,
     accepted).  The jitted closure is cached per (d, k, hv, prompt_len)
     so the 6 streams of a split share one compile."""
-    key = (d, k, head_vocab, prompt.shape[0], adapter_tag,
+    key = (d, k, head_vocab, prompt.shape[0], adapter_tag, lowrank,
            None if head_ids is None else tuple(np.asarray(head_ids)))
     if key not in _JIT_CACHE:
         spec = SpecSpec(
             max_new_tokens=G, eos_id=-1, pad_id=0, draft_layers=d,
             draft_k=k, no_repeat_ngram_size=0, repetition_penalty=1.0,
         )
-        dh = (
-            make_draft_head(params["lm_head"], head_vocab, ids=head_ids)
-            if head_vocab else None
-        )
+        if lowrank:
+            dh = make_lowrank_draft_head(params["lm_head"], lowrank)
+        else:
+            dh = (
+                make_draft_head(params["lm_head"], head_vocab,
+                                ids=head_ids)
+                if head_vocab else None
+            )
         hist = jnp.zeros((8,), jnp.int32)
 
         @jax.jit
@@ -170,7 +176,8 @@ def main():
     for hv in (CFG.vocab_size // 4, CFG.vocab_size // 8):
         variants += [("prefix", hv), ("ranked", hv)]
 
-    def measure(d, k, hv, mode, head_ids=None, adapter=None, tag_a=""):
+    def measure(d, k, hv, mode, head_ids=None, adapter=None, tag_a="",
+                lowrank=0):
         row = {
             "d_over_L": round(d / CFG.num_layers, 2),
             "draft_layers": d, "draft_k": k,
@@ -183,7 +190,7 @@ def main():
             for p, ref in zip(prompts, refs[tag]):
                 toks, r, dr, ac = run_spec(
                     params, p, d, k, hv, head_ids=head_ids,
-                    adapter=adapter, adapter_tag=tag_a,
+                    adapter=adapter, adapter_tag=tag_a, lowrank=lowrank,
                 )
                 assert len(toks) == G, (d, k, hv, toks)
                 match.append(next(
@@ -201,6 +208,14 @@ def main():
         results["rows"].append(row)
         print(json.dumps(row), file=sys.stderr)
 
+    def release_compiles():
+        """Drop accumulated executables between variant families: ~100
+        distinct jitted closures otherwise pile up in one process and
+        LLVM eventually fails its arena allocation (observed at ~75
+        compiles: 'LLVM compilation error: Cannot allocate memory')."""
+        _JIT_CACHE.clear()
+        jax.clear_caches()
+
     for d in (1, 2, 3, 4):
         for k in (4, 9):
             for mode, hv in variants:
@@ -209,6 +224,16 @@ def main():
                     else None
                 )
                 measure(d, k, hv, mode, head_ids=head_ids)
+        release_compiles()
+
+    # low-rank draft head (truncated SVD of the trained head): the
+    # acceptance cost of rank truncation, complementing the hardware
+    # machinery rows (the factors cut the dominant draft head stream)
+    for d in (1, 2, 4):
+        for rank in (CFG.hidden_size // 2, CFG.hidden_size // 4):
+            for k in (4, 9):
+                measure(d, k, 0, f"lowrank{rank}", lowrank=rank)
+        release_compiles()
 
     # distilled early-exit adapter (train/draft.py) in three regimes
     # (draft-only — exactness untouched in all of them); see the module
@@ -258,6 +283,7 @@ def main():
                     head_ids=jnp.asarray(ranked[:hv]), adapter=adapter,
                     tag_a=tag_a,
                 )
+            release_compiles()
 
     print(json.dumps(results, indent=2))
     if args.json:
