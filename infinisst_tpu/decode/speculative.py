@@ -29,11 +29,13 @@ speculative path — this is a TPU-native extension, ref decode loop being
 replaced: transformers greedy_search semantics as in
 agents/infinisst.py:320-368).
 
-``speculative_sample`` extends the same draft/verify machinery to the
-sampling path (the reference's --do-sample DPO data-collection flow) via
-the standard rejection scheme: exact in DISTRIBUTION rather than
-token-exact — every emitted token's conditional law equals single-step
-ancestral sampling from the processed target distribution.
+``batched_speculative_sample`` / ``speculative_sample`` extend the same
+draft/verify machinery to the sampling path (the reference's --do-sample
+DPO data-collection flow, and ``ServingEngine(do_sample=True)`` pooled
+sampling) via the standard rejection scheme: exact in DISTRIBUTION
+rather than token-exact — every emitted token's conditional law equals
+single-step ancestral sampling from the processed target distribution,
+independently per row.
 """
 
 from __future__ import annotations
@@ -466,6 +468,245 @@ class SpecSampleSpec(NamedTuple):
     repetition_penalty: float = 1.0
 
 
+def batched_speculative_sample(
+    params,
+    cfg: LlamaConfig,
+    dec0: DecoderState,  # batch B — per-slot caches after chunk prefill
+    first_logits: jnp.ndarray,  # (B, V) logits at each row's last position
+    ids: jnp.ndarray,  # (B, Tp) per-row prompt ids (padded)
+    prompt_lens: jnp.ndarray,  # (B,) int32
+    history: jnp.ndarray,  # (B, Lh) per-row cross-chunk target ids
+    history_len: jnp.ndarray,  # (B,) int32
+    spec: SpecSampleSpec,
+    rng: jax.Array,
+    row_active: jnp.ndarray,  # (B,) bool — inactive rows emit nothing
+    row_max_new: Optional[jnp.ndarray] = None,  # (B,) per-row caps <= G
+    encoder_ngram_size: int = 0,
+    suppress_mask: Optional[jnp.ndarray] = None,
+    draft_head: Optional[dict] = None,
+    exit_adapter: Optional[dict] = None,
+):
+    """Pooled speculative SAMPLING (Leviathan et al. 2022 / Chen et al.
+    2023 rejection scheme) over the layer-skip draft: exact in
+    distribution — every emitted token's conditional law equals
+    single-step ancestral sampling from the PROCESSED target
+    distribution (the same temperature -> penalties/ngram/suppress ->
+    top-k/top-p/epsilon stack as decode/beam.sample_decode, the
+    reference's --do-sample path, ref agents/infinisst.py sampling
+    kwargs), independently per row, for ANY draft.  The draft only moves
+    speed, exactly as in :func:`batched_speculative_greedy`; all rows
+    share ONE draft stream and ONE verify stream per round.
+
+    Per round and row: sample the anchor from the carried target
+    distribution (or, after a rejection, from the residual
+    max(p - q, 0)/Z — the correct conditional), sample k draft tokens
+    from the draft's processed distribution q, verify all k+1 in ONE
+    full weight stream, and accept draft j with probability
+    min(1, p_j(x)/q_j(x)).  The first rejected position's residual
+    sample becomes the NEXT round's anchor (its logits come out of this
+    round's verify forward, so no extra stream is spent).  Accepted
+    tokens' K/V commit during verification.
+
+    Returns (tokens (B, G), n_tokens (B,), hit_eos (B,), dec, rounds,
+    drafted (B,), accepted (B,))."""
+    G = spec.max_new_tokens
+    k = spec.draft_k
+    d = spec.draft_layers
+    B, V = first_logits.shape
+    Tp = ids.shape[1]
+    Tbuf = Tp + G + k  # +k staging slack, as in the greedy decoder
+    if row_max_new is None:
+        row_max_new = jnp.full((B,), G, jnp.int32)
+    else:
+        row_max_new = jnp.minimum(row_max_new, G)
+
+    params_d, cfg_d, head_ids, head_prefix = _draft_setup(
+        params, cfg, d, draft_head, exit_adapter
+    )
+
+    def process_scores(logits, seq_buf, seq_len):
+        """(B, V) raw logits -> (B, V) processed + filtered log scores:
+        the exact stack (and order) of decode/beam.sample_decode."""
+        scores = jax.nn.log_softmax(
+            lp.temperature_scale(
+                logits.astype(jnp.float32), spec.temperature
+            ),
+            -1,
+        )
+        scores = lp.repetition_penalty(
+            scores, seq_buf, jnp.arange(Tbuf)[None] < seq_len[:, None],
+            spec.repetition_penalty,
+        )
+        scores = lp.no_repeat_ngram(
+            scores, seq_buf, seq_len, spec.no_repeat_ngram_size
+        )
+        if encoder_ngram_size > 0:
+            scores = lp.encoder_no_repeat_ngram(
+                scores, history, history_len, seq_buf, seq_len,
+                encoder_ngram_size,
+            )
+        if suppress_mask is not None:
+            scores = lp.suppress_tokens(scores, suppress_mask)
+        scores = lp.top_k_filter(scores, spec.top_k)
+        scores = lp.top_p_filter(scores, spec.top_p)
+        scores = lp.epsilon_filter(scores, spec.epsilon_cutoff)
+        return scores
+
+    seq_buf0 = jnp.concatenate(
+        [ids.astype(jnp.int32),
+         jnp.full((B, G + k), spec.pad_id, jnp.int32)], axis=1,
+    )
+    act0 = row_active.astype(bool)
+
+    def round_fn(state):
+        (dec, c_lg, c_q, c_rej, key, seq_buf, seq_len, tokens, n_out,
+         done, hit_eos, rounds, drafted, accepted) = state
+        key, k_anchor, k_draft, k_acc = jax.random.split(key, 4)
+        live = (~done) & act0
+
+        # ---- anchor: a true sample from the correct conditional law.
+        # Normal case: categorical over the processed target scores
+        # (recomputed from the carried raw logits — the seq context at
+        # this position is unchanged since they were produced, so the
+        # processors give the identical distribution).  After a
+        # rejection: the speculative-sampling residual max(p - q, 0)/Z.
+        p0 = process_scores(c_lg, seq_buf, seq_len)  # (B, V)
+        p0_probs = jax.nn.softmax(p0, -1)
+        res = jnp.maximum(p0_probs - c_q, 0.0)
+        rsum = jnp.sum(res, -1, keepdims=True)
+        # rsum > 0 whenever a rejection occurred (rejection at x implies
+        # q(x) > p(x), so max(q-p,0) and max(p-q,0) both carry mass);
+        # the epsilon guards only numerical p == q underflow
+        use_res = (c_rej & (rsum[:, 0] > 1e-12))[:, None]
+        anchor_probs = jnp.where(
+            use_res, res / jnp.maximum(rsum, 1e-12), p0_probs
+        )
+        t1 = jax.random.categorical(
+            k_anchor,
+            jnp.where(anchor_probs > 0, jnp.log(anchor_probs), -jnp.inf),
+        ).astype(jnp.int32)  # (B,)
+
+        # ---- draft phase: k cheap sampled steps over the first d layers
+        sbuf1 = jax.vmap(lambda b, l, t: b.at[l].set(t))(seq_buf, seq_len, t1)
+        ddec = DecoderState(k=dec.k[:d], v=dec.v[:d], valid_len=dec.valid_len)
+
+        def draft_step(carry, kj):
+            ddec, tok, sbuf, slen = carry
+            lg, ddec = llama_mod.decode_step(
+                params_d, cfg_d, ddec,
+                llama_mod.embed(params_d, tok[:, None]),
+            )
+            raw = _shortlist_reenter(lg[:, -1], head_ids, head_prefix, V)
+            qs = process_scores(raw, sbuf, slen + 1)  # (B, V)
+            nxt = jax.random.categorical(kj, qs).astype(jnp.int32)
+            sbuf = jax.vmap(lambda b, l, t: b.at[l + 1].set(t))(
+                sbuf, slen, nxt
+            )
+            return (ddec, nxt, sbuf, slen + 1), (nxt, qs)
+
+        (_, _, _, _), (drafts, q_scores) = jax.lax.scan(
+            draft_step, (ddec, t1, sbuf1, seq_len),
+            jax.random.split(k_draft, k),
+        )  # drafts (k, B), q_scores (k, B, V)
+
+        # ---- verify: ONE full forward over [t1, d1..dk] per row
+        toks_v = jnp.concatenate([t1[None], drafts]).T  # (B, k+1)
+        sbuf_v = jax.vmap(
+            lambda b, t, l: jax.lax.dynamic_update_slice(b, t, (l,))
+        )(seq_buf, toks_v, seq_len)
+        vmask = jnp.broadcast_to(
+            live[:, None], (B, k + 1)
+        ).astype(jnp.int32)
+        lg_v, dec_v = llama_mod.decode_step(
+            params, cfg, dec,
+            llama_mod.embed(params, toks_v), valid_mask=vmask,
+        )  # (B, k+1, V)
+        p_scores = jax.vmap(
+            lambda lgj, off: process_scores(lgj, sbuf_v, seq_len + off + 1),
+            in_axes=(1, 0), out_axes=0,
+        )(lg_v[:, :, :V], jnp.arange(k + 1))  # (k+1, B, V)
+
+        # ---- acceptance: accept draft j with prob min(1, p_j(x)/q_j(x))
+        # (u*q < p  <=>  u < p/q for q > 0, and q(x) > 0 for any sampled
+        # x); a = per-row length of the accepted prefix
+        q_probs = jax.nn.softmax(q_scores, -1)  # (k, B, V)
+        p_probs = jax.nn.softmax(p_scores[:k], -1)  # (k, B, V)
+        q_d = jnp.take_along_axis(
+            q_probs, drafts[:, :, None], axis=-1
+        )[..., 0]  # (k, B)
+        p_d = jnp.take_along_axis(
+            p_probs, drafts[:, :, None], axis=-1
+        )[..., 0]
+        u = jax.random.uniform(k_acc, (k, B))
+        acc = u * q_d < p_d  # (k, B)
+        a = jnp.where(
+            jnp.all(acc, axis=0), k, jnp.argmin(acc, axis=0)
+        ).astype(jnp.int32)  # (B,)
+
+        # ---- emission: toks_v[0..a], truncated at EOS and the cap
+        # (identical rules to the greedy decoder)
+        idx = jnp.arange(k + 1)[None]
+        eos_in = (toks_v == spec.eos_id) & (idx <= a[:, None])
+        first_eos = jnp.where(
+            jnp.any(eos_in, axis=1), jnp.argmax(eos_in, axis=1), k + 1
+        ).astype(jnp.int32)
+        room = (row_max_new - n_out).astype(jnp.int32)
+        n_r = jnp.minimum(jnp.minimum(a + 1, first_eos), room)
+        n_r = jnp.where(live, n_r, 0)
+        hit = jnp.any(eos_in, axis=1) & (first_eos < room) & live
+
+        relt = jnp.arange(G)[None] - n_out[:, None]  # (B, G)
+        put = jnp.take_along_axis(toks_v, jnp.clip(relt, 0, k), axis=1)
+        tokens = jnp.where((relt >= 0) & (relt < n_r[:, None]), put, tokens)
+        rels = jnp.arange(Tbuf)[None] - seq_len[:, None]
+        puts = jnp.take_along_axis(toks_v, jnp.clip(rels, 0, k), axis=1)
+        seq_buf = jnp.where(
+            (rels >= 0) & (rels < n_r[:, None]), puts, seq_buf
+        )
+
+        # commit exactly the emitted tokens' K/V
+        dec = dec_v._replace(valid_len=dec.valid_len + n_r)
+        # carry for the next anchor: raw verify logits at the last
+        # emitted position (all-accept) or the rejected position, plus
+        # the rejected draft's q for the residual; frozen rows keep
+        # their carry untouched
+        c_lg2 = jnp.take_along_axis(
+            lg_v[:, :, :V], a[:, None, None], axis=1
+        )[:, 0].astype(jnp.float32)
+        c_lg2 = jnp.where(live[:, None], c_lg2, c_lg)
+        rej_now = (a < k) & live
+        qa = jnp.take_along_axis(
+            q_probs, jnp.minimum(a, k - 1)[None, :, None], axis=0
+        )[0]  # (B, V)
+        c_q2 = jnp.where(rej_now[:, None], qa, c_q)
+        c_rej2 = jnp.where(live, a < k, c_rej)
+
+        n_out2 = n_out + n_r
+        done2 = done | hit | (n_out2 >= row_max_new)
+        return (
+            dec, c_lg2, c_q2, c_rej2, key, seq_buf, seq_len + n_r,
+            tokens, n_out2, done2, hit_eos | hit, rounds + 1,
+            drafted + jnp.where(live, k, 0),
+            accepted + jnp.maximum(n_r - 1, 0),
+        )
+
+    zb = jnp.zeros((B,), jnp.int32)
+    state0 = (
+        dec0, first_logits.astype(jnp.float32),
+        jnp.zeros((B, V), jnp.float32), jnp.zeros((B,), bool), rng,
+        seq_buf0, prompt_lens.astype(jnp.int32),
+        jnp.full((B, G), spec.pad_id, jnp.int32), zb,
+        ~act0, jnp.zeros((B,), bool),
+        jnp.zeros((), jnp.int32), zb, zb,
+    )
+    state = jax.lax.while_loop(
+        lambda s: jnp.any(~s[9]), round_fn, state0
+    )
+    (dec, _, _, _, _, _, _, tokens, n_out, _, hit_eos, rounds, drafted,
+     accepted) = state
+    return tokens, n_out, hit_eos, dec, rounds, drafted, accepted
+
+
 def speculative_sample(
     params,
     cfg: LlamaConfig,
@@ -482,194 +723,26 @@ def speculative_sample(
     draft_head: Optional[dict] = None,
     exit_adapter: Optional[dict] = None,
 ) -> SpecResult:
-    """Speculative SAMPLING (Leviathan et al. 2022 / Chen et al. 2023
-    rejection scheme) over the layer-skip draft: exact in distribution —
-    every emitted token's conditional law equals single-step ancestral
-    sampling from the PROCESSED target distribution (the same
-    temperature -> penalties/ngram/suppress -> top-k/top-p/epsilon stack
-    as decode/beam.sample_decode, the reference's --do-sample path,
-    ref agents/infinisst.py sampling kwargs), for ANY draft.  The draft
-    only moves speed, exactly as in :func:`speculative_greedy`.
-
-    Per round: sample the anchor from the carried target distribution
-    (or, after a rejection, from the residual max(p - q, 0)/Z — the
-    correct conditional), sample k draft tokens from the draft's
-    processed distribution q, verify all k+1 in ONE full weight stream,
-    and accept draft j with probability min(1, p_j(x)/q_j(x)).  The
-    first rejected position's residual sample becomes the NEXT round's
-    anchor (its logits come out of this round's verify forward, so no
-    extra stream is spent).  Accepted tokens' K/V commit during
-    verification, as in the greedy path.
-
-    Single-stream (B=1): the sampling path exists for the reference's
-    DPO data-collection flow, which is single-stream; the pooled serving
-    engine is greedy/beam only."""
-    G = spec.max_new_tokens
-    k = spec.draft_k
-    V = first_logits.shape[0]
-    Tp = prompt_buf.shape[0]
-    Tbuf = Tp + G + k  # +k staging slack, as in the greedy decoder
-
-    params_d, cfg_d, head_ids, head_prefix = _draft_setup(
-        params, cfg, spec.draft_layers, draft_head, exit_adapter
+    """Single-stream wrapper over :func:`batched_speculative_sample`
+    (B=1) — one copy of the rejection/residual arithmetic lives in the
+    batched implementation.  Used by the agent's --speculative
+    --do-sample mode (the reference's DPO data-collection flow)."""
+    pl = jnp.atleast_1d(jnp.asarray(prompt_len, jnp.int32))
+    hl = jnp.atleast_1d(jnp.asarray(history_len, jnp.int32))
+    tokens, n_out, hit_eos, dec, rounds, drafted, accepted = (
+        batched_speculative_sample(
+            params, cfg, prefix, first_logits[None],
+            prompt_buf[None], pl, history[None], hl, spec, rng,
+            row_active=jnp.ones((1,), bool),
+            encoder_ngram_size=encoder_ngram_size,
+            suppress_mask=suppress_mask,
+            draft_head=draft_head,
+            exit_adapter=exit_adapter,
+        )
     )
-    d = spec.draft_layers
-    hist = history[None]
-    hlen = jnp.atleast_1d(jnp.asarray(history_len, jnp.int32))
-
-    def process_scores(logits, seq_buf, seq_len):
-        """(V,) raw logits -> (V,) processed + filtered log scores: the
-        exact stack (and order) of decode/beam.sample_decode.process."""
-        scores = jax.nn.log_softmax(
-            lp.temperature_scale(
-                logits.astype(jnp.float32), spec.temperature
-            ),
-            -1,
-        )[None]
-        scores = lp.repetition_penalty(
-            scores, seq_buf, jnp.arange(Tbuf)[None] < seq_len[:, None],
-            spec.repetition_penalty,
-        )
-        scores = lp.no_repeat_ngram(
-            scores, seq_buf, seq_len, spec.no_repeat_ngram_size
-        )
-        if encoder_ngram_size > 0:
-            scores = lp.encoder_no_repeat_ngram(
-                scores, hist, hlen, seq_buf, seq_len, encoder_ngram_size
-            )
-        if suppress_mask is not None:
-            scores = lp.suppress_tokens(scores, suppress_mask)
-        scores = lp.top_k_filter(scores, spec.top_k)
-        scores = lp.top_p_filter(scores, spec.top_p)
-        scores = lp.epsilon_filter(scores, spec.epsilon_cutoff)
-        return scores[0]
-
-    def round_fn(state):
-        (dec, c_lg, c_q, c_rej, key, seq_buf, seq_len, tokens, n_out,
-         done, hit_eos, rounds, drafted, accepted) = state
-        key, k_anchor, k_draft, k_acc = jax.random.split(key, 4)
-
-        # ---- anchor: a true sample from the correct conditional law.
-        # Normal case: categorical over the processed target scores
-        # (recomputed from the carried raw logits — the seq context at
-        # this position is unchanged since they were produced, so the
-        # processors give the identical distribution).  After a
-        # rejection: the speculative-sampling residual max(p - q, 0)/Z.
-        p0 = process_scores(c_lg, seq_buf, seq_len)
-        p0_probs = jax.nn.softmax(p0)
-        res = jnp.maximum(p0_probs - c_q, 0.0)
-        rsum = jnp.sum(res)
-        # rsum > 0 whenever a rejection occurred (rejection at x implies
-        # q(x) > p(x), so max(q-p,0) and max(p-q,0) both carry mass);
-        # the epsilon guards only numerical p == q underflow
-        use_res = c_rej & (rsum > 1e-12)
-        anchor_probs = jnp.where(
-            use_res, res / jnp.maximum(rsum, 1e-12), p0_probs
-        )
-        t1 = jax.random.categorical(
-            k_anchor,
-            jnp.where(anchor_probs > 0, jnp.log(anchor_probs), -jnp.inf),
-        ).astype(jnp.int32)
-
-        # ---- draft phase: k cheap sampled steps over the first d layers
-        sbuf1 = seq_buf.at[0, seq_len[0]].set(t1)
-        ddec = DecoderState(k=dec.k[:d], v=dec.v[:d], valid_len=dec.valid_len)
-
-        def draft_step(carry, kj):
-            ddec, tok, sbuf, slen = carry
-            lg, ddec = llama_mod.decode_step(
-                params_d, cfg_d, ddec,
-                llama_mod.embed(params_d, tok[None, None]),
-            )
-            raw = _shortlist_reenter(lg[:, -1], head_ids, head_prefix, V)
-            qs = process_scores(raw[0], sbuf, slen + 1)
-            nxt = jax.random.categorical(kj, qs).astype(jnp.int32)
-            sbuf = sbuf.at[0, slen[0] + 1].set(nxt)
-            return (ddec, nxt, sbuf, slen + 1), (nxt, qs)
-
-        (_, _, _, _), (drafts, q_scores) = jax.lax.scan(
-            draft_step, (ddec, t1, sbuf1, seq_len),
-            jax.random.split(k_draft, k),
-        )  # drafts (k,), q_scores (k, V)
-
-        # ---- verify: ONE full forward over [t1, d1..dk]
-        toks_v = jnp.concatenate([t1[None], drafts])[None]  # (1, k+1)
-        sbuf_v = jax.lax.dynamic_update_slice(
-            seq_buf, toks_v, (0, seq_len[0])
-        )
-        lg_v, dec_v = llama_mod.decode_step(
-            params, cfg, dec, llama_mod.embed(params, toks_v)
-        )  # (1, k+1, V)
-        p_scores = jax.vmap(
-            lambda lgj, off: process_scores(lgj, sbuf_v, seq_len + off + 1)
-        )(lg_v[0, :, :V], jnp.arange(k + 1))  # (k+1, V)
-
-        # ---- acceptance: accept draft j with prob min(1, p_j(x)/q_j(x))
-        # (u*q < p  <=>  u < p/q for q > 0, and q(x) > 0 for any sampled
-        # x); a = length of the accepted prefix
-        q_probs = jax.nn.softmax(q_scores, -1)  # (k, V)
-        p_probs = jax.nn.softmax(p_scores[:k], -1)  # (k, V)
-        jidx = jnp.arange(k)
-        u = jax.random.uniform(k_acc, (k,))
-        acc = u * q_probs[jidx, drafts] < p_probs[jidx, drafts]
-        a = jnp.where(
-            jnp.all(acc), k, jnp.argmin(acc)
-        ).astype(jnp.int32)
-
-        # ---- emission: toks_v[0..a], truncated at EOS and the cap
-        # (identical rules to the greedy decoder)
-        idx = jnp.arange(k + 1)
-        eos_in = (toks_v[0] == spec.eos_id) & (idx <= a)
-        first_eos = jnp.where(
-            jnp.any(eos_in), jnp.argmax(eos_in), k + 1
-        ).astype(jnp.int32)
-        room = (G - n_out).astype(jnp.int32)
-        n_r = jnp.minimum(jnp.minimum(a + 1, first_eos), room)
-        hit = jnp.any(eos_in) & (first_eos < room)
-
-        relt = jnp.arange(G) - n_out
-        put = jnp.take(toks_v[0], jnp.clip(relt, 0, k))
-        tokens = jnp.where((relt >= 0) & (relt < n_r), put, tokens)
-        rels = jnp.arange(Tbuf) - seq_len[0]
-        puts = jnp.take(toks_v[0], jnp.clip(rels, 0, k))
-        seq_buf = jnp.where(
-            ((rels >= 0) & (rels < n_r))[None], puts[None], seq_buf
-        )
-
-        # commit exactly the emitted tokens' K/V
-        dec = dec_v._replace(valid_len=dec.valid_len + n_r)
-        # carry for the next anchor: raw verify logits at the last
-        # emitted position (all-accept) or the rejected position, plus
-        # the rejected draft's q for the residual
-        c_lg2 = lg_v[0, a, :V].astype(jnp.float32)
-        c_rej2 = a < k
-        c_q2 = jnp.where(c_rej2, q_probs[jnp.minimum(a, k - 1)], c_q)
-
-        n_out2 = n_out + n_r
-        return (
-            dec, c_lg2, c_q2, c_rej2, key, seq_buf, seq_len + n_r,
-            tokens, n_out2, done | hit | (n_out2 >= G), hit_eos | hit,
-            rounds + 1, drafted + k, accepted + jnp.maximum(n_r - 1, 0),
-        )
-
-    seq_buf0 = jnp.concatenate(
-        [prompt_buf.astype(jnp.int32),
-         jnp.full((G + k,), spec.pad_id, jnp.int32)]
-    )[None]
-    z = jnp.zeros((), jnp.int32)
-    state0 = (
-        prefix, first_logits.astype(jnp.float32),
-        jnp.zeros((V,), jnp.float32), jnp.asarray(False), rng, seq_buf0,
-        jnp.atleast_1d(jnp.asarray(prompt_len, jnp.int32)),
-        jnp.full((G,), spec.pad_id, jnp.int32), z,
-        jnp.asarray(False), jnp.asarray(False), z, z, z,
-    )
-    state = jax.lax.while_loop(lambda s: ~s[9], round_fn, state0)
-    (dec, _, _, _, _, _, _, tokens, n_out, _, hit_eos, rounds, drafted,
-     accepted) = state
     return SpecResult(
-        tokens=tokens, n_tokens=n_out, hit_eos=hit_eos, rounds=rounds,
-        drafted=drafted, accepted=accepted, dec=dec,
+        tokens=tokens[0], n_tokens=n_out[0], hit_eos=hit_eos[0],
+        rounds=rounds, drafted=drafted[0], accepted=accepted[0], dec=dec,
     )
 
 

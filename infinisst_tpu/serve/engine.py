@@ -100,7 +100,27 @@ class ServingEngine:
         # untouched; raises acceptance at small spec_draft_layers
         spec_lowrank_rank: int = 0,  # low-rank draft head via SVD at init
         spec_lowrank_head: Optional[dict] = None,  # prebuilt {'a','b'}
+        do_sample: bool = False,  # pooled speculative SAMPLING: exact in
+        # distribution per row (decode/speculative.py rejection scheme);
+        # requires speculative=True — pooled plain sampling would pay one
+        # full weight stream per token, which is what speculation removes
+        temperature: float = 1.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        epsilon_cutoff: float = 0.0,
+        sample_seed: int = 0,
     ):
+        if do_sample and not speculative:
+            raise ValueError(
+                "pooled sampling is implemented as speculative sampling: "
+                "pass speculative=True (the rejection scheme makes it "
+                "exact in distribution at any draft quality)"
+            )
+        if do_sample and spec_accept_all:
+            raise ValueError(
+                "--spec-accept-all is a greedy bench mode; it has no "
+                "sampling counterpart"
+            )
         if speculative and (spec_lowrank_rank or spec_lowrank_head):
             if spec_head_vocab:
                 raise ValueError(
@@ -175,6 +195,15 @@ class ServingEngine:
         self.spec_accept_all = spec_accept_all
         self.spec_stats = {"rounds": 0, "drafted": 0, "accepted": 0,
                            "emitted": 0}
+        self.do_sample = do_sample
+        self.temperature = temperature
+        self.top_k = top_k
+        self.top_p = top_p
+        self.epsilon_cutoff = epsilon_cutoff
+        # per-tick decode randomness: fold_in(base, tick#) — reproducible
+        # for a fixed arrival schedule, fresh across ticks
+        self._sample_key = jax.random.PRNGKey(sample_seed)
+        self._tick_counter = 0
 
         # padded per-tick geometry (rows at m < m_max carry fewer real
         # frames; a row sitting a tick out carries zero)
@@ -290,7 +319,7 @@ class ServingEngine:
 
         def step(params, enc, dec, windows, chunks_i16, ids, valid_mask,
                  patch_starts, row_active, hist, hist_len, row_frames,
-                 row_patches, row_max_new):
+                 row_patches, row_max_new, rng=None):
             # roll each device window by ITS OWN chunk size: row i's new
             # samples (row_frames[i]*320, left-aligned in chunks_i16[i])
             # slide in so real audio stays right-aligned; a row with
@@ -326,6 +355,45 @@ class ServingEngine:
             last = jnp.take_along_axis(
                 logits, (prompt_lens - 1)[:, None, None], axis=1
             )[:, 0]  # (B, V)
+
+            if self.speculative and self.do_sample:
+                # pooled speculative SAMPLING: one draft stream + one
+                # verify stream per round shared across all slots; each
+                # row's emitted law equals per-row ancestral sampling
+                # from the processed target distribution
+                from infinisst_tpu.decode.speculative import (
+                    SpecSampleSpec,
+                    batched_speculative_sample,
+                )
+
+                sp = SpecSampleSpec(
+                    max_new_tokens=max_new,
+                    eos_id=eos,
+                    pad_id=cfg.tokens.pad,
+                    draft_layers=self.spec_draft_layers,
+                    draft_k=self.spec_k,
+                    temperature=self.temperature,
+                    top_k=self.top_k,
+                    top_p=self.top_p,
+                    epsilon_cutoff=self.epsilon_cutoff,
+                    no_repeat_ngram_size=stream.no_repeat_ngram_size,
+                    repetition_penalty=stream.repetition_penalty,
+                )
+                toks, n_tok, _hit, dec3, rounds, drafted, accepted = (
+                    batched_speculative_sample(
+                        params["llama"], cfg.llama, dec2, last, ids,
+                        prompt_lens.astype(jnp.int32), hist, hist_len,
+                        sp, rng, row_active, row_max_new=row_max_new,
+                        encoder_ngram_size=stream.no_repeat_ngram_size,
+                        suppress_mask=self._suppress,
+                        draft_head=params.get("spec_draft_head"),
+                        exit_adapter=params.get("spec_adapter"),
+                    )
+                )
+                stats = jnp.stack(
+                    [rounds, drafted.sum(), accepted.sum(), n_tok.sum()]
+                )
+                return enc2, dec3, windows, toks, n_tok, stats
 
             if self.speculative:
                 # pooled layer-skip speculation: one draft stream + one
@@ -557,13 +625,20 @@ class ServingEngine:
             valid[i, : len(pr.ids)] = 1
             patch_starts[i] = pr.patch_start
 
+        extra = ()
+        if self.do_sample:
+            # fresh per-tick key, reproducible per (seed, tick index)
+            extra = (jax.random.fold_in(
+                self._sample_key, self._tick_counter
+            ),)
+        self._tick_counter += 1
         out = self._step_fn(
             self.params, self.enc_state, self.dec_state, self.windows,
             jnp.asarray(chunks), jnp.asarray(ids), jnp.asarray(valid),
             jnp.asarray(patch_starts), jnp.asarray(row_active),
             jnp.asarray(hist), jnp.asarray(hist_len),
             jnp.asarray(row_frames), jnp.asarray(row_patches),
-            jnp.asarray(row_max_new),
+            jnp.asarray(row_max_new), *extra,
         )
         if self.speculative:
             enc2, dec2, self.windows, toks, n_tok, stats = out

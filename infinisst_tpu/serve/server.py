@@ -183,6 +183,13 @@ def main():  # pragma: no cover - network entrypoint
     # lm_head; path loads prebuilt {'a','b'} factors (exact either way)
     p.add_argument("--spec-lowrank-rank", type=int, default=0)
     p.add_argument("--spec-lowrank-head", type=str, default=None)
+    # pooled speculative SAMPLING (requires --speculative): per-row
+    # ancestral-sampling semantics at speculative speed
+    p.add_argument("--do-sample", action="store_true")
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--top-k", type=int, default=0)
+    p.add_argument("--top-p", type=float, default=1.0)
+    p.add_argument("--sample-seed", type=int, default=0)
     p.add_argument("--model-preset", default="bench")
     p.add_argument("--state-dict-path", default=None)
     p.add_argument("--tokenizer-path", default=None)
@@ -284,6 +291,11 @@ def main():  # pragma: no cover - network entrypoint
         spec_adapter=_adapter(args),
         spec_lowrank_rank=args.spec_lowrank_rank,
         spec_lowrank_head=_lowrank(args),
+        do_sample=args.do_sample,
+        temperature=args.temperature,
+        top_k=args.top_k,
+        top_p=args.top_p,
+        sample_seed=args.sample_seed,
     )
     asyncio.run(StreamingServer(engine).run(args.host, args.port))
 

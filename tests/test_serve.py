@@ -509,3 +509,39 @@ def test_engine_speculative_matches_greedy():
             params, cfg, stream, builders, pool_size=2, beam=2,
             speculative=True,
         )
+
+    # ---- pooled speculative SAMPLING (do_sample=True) ----
+    # top_k=1 degenerates every per-row distribution to its argmax, so
+    # the sampling pool must reproduce the greedy pool token-for-token
+    # (the strongest batched exactness check available for sampling)
+    t0, t1, eng = run(
+        speculative=True, do_sample=True, top_k=1,
+        spec_draft_layers=1, spec_k=3,
+    )
+    assert t0 == g0, (t0, g0)
+    assert t1 == g1, (t1, g1)
+    assert eng.spec_stats["emitted"] == len(g0) + len(g1)
+
+    # non-degenerate sampling: emits, reproducible per seed, seed moves it
+    r0a, r1a, _ = run(
+        speculative=True, do_sample=True, temperature=1.3, top_k=8,
+        spec_draft_layers=1, spec_k=3, sample_seed=7,
+    )
+    r0b, r1b, _ = run(
+        speculative=True, do_sample=True, temperature=1.3, top_k=8,
+        spec_draft_layers=1, spec_k=3, sample_seed=7,
+    )
+    assert (r0a, r1a) == (r0b, r1b)
+    assert len(r0a) > 0 and len(r1a) > 0
+    r0c, _, _ = run(
+        speculative=True, do_sample=True, temperature=1.3, top_k=8,
+        spec_draft_layers=1, spec_k=3, sample_seed=8,
+    )
+    assert r0c != r0a  # 512-vocab, dozens of draws: ties are ~impossible
+
+    # sampling requires the speculative machinery (pooled plain sampling
+    # would pay one weight stream per token)
+    with pytest.raises(ValueError, match="speculative"):
+        ServingEngine(
+            params, cfg, stream, builders, pool_size=2, do_sample=True,
+        )

@@ -283,6 +283,14 @@ def main():
                     head_ids=jnp.asarray(ranked[:hv]), adapter=adapter,
                     tag_a=tag_a,
                 )
+                # composed with the low-rank head: the factors
+                # approximate the RAW head independent of the adapter's
+                # hidden shift, so the two cost cuts stack
+                r4 = CFG.hidden_size // 4
+                measure(
+                    d, 4, 0, f"adapter(rollout)+lowrank{r4}",
+                    adapter=adapter, tag_a=tag_a, lowrank=r4,
+                )
             release_compiles()
 
     print(json.dumps(results, indent=2))
