@@ -76,6 +76,16 @@ def main():
                                int(sys.argv[sys.argv.index(
                                    "--spec-head-vocab") + 1])
                                if "--spec-head-vocab" in sys.argv else 0
+                           ),
+                           do_sample="--do-sample" in sys.argv,
+                           temperature=(
+                               float(sys.argv[sys.argv.index(
+                                   "--temperature") + 1])
+                               if "--temperature" in sys.argv else 1.0
+                           ),
+                           top_k=(
+                               int(sys.argv[sys.argv.index("--top-k") + 1])
+                               if "--top-k" in sys.argv else 0
                            ))
     if mode == "train":
         return bench_train(multiplier, n_steps=n_chunks)
@@ -359,7 +369,8 @@ def main():
 def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
                 model: str = "bench", beam: int = 4, multipliers=None,
                 speculative: bool = False, spec_accept_all: bool = False,
-                spec_head_vocab: int = 0):
+                spec_head_vocab: int = 0, do_sample: bool = False,
+                temperature: float = 1.0, top_k: int = 0):
     """Batched multi-client throughput: N concurrent streams through the
     serving engine; reports decode tokens/sec/chip and per-stream RTF.
     Default beam=4 — the reference's quality configuration
@@ -414,6 +425,7 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
         multipliers=multipliers,
         speculative=speculative, spec_accept_all=spec_accept_all,
         spec_head_vocab=spec_head_vocab,
+        do_sample=do_sample, temperature=temperature, top_k=top_k,
     )
     rng = np.random.RandomState(0)
     if multipliers:
@@ -444,7 +456,8 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
         audio_s = base_ticks * unit / 16000.0  # per stream
         mtag = "x".join(str(m) for m in multipliers)
         dmode = (
-            f"spec{'AA' if spec_accept_all else ''}"
+            f"spec{'S' if do_sample else ''}"
+            f"{'AA' if spec_accept_all else ''}"
             f"d{eng.spec_draft_layers}k{eng.spec_k}"
             + (f"hv{spec_head_vocab // 1000}k" if spec_head_vocab else "")
             if speculative else f"beam{beam}"
@@ -488,7 +501,8 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
     n_tok = sum(len(eng.slots[s_].target_ids) for s_ in slots) - n_tok0
     audio_s = n_chunks * chunk / 16000.0  # per stream
     dmode = (
-        f"spec{'AA' if spec_accept_all else ''}"
+        f"spec{'S' if do_sample else ''}"
+        f"{'AA' if spec_accept_all else ''}"
         f"d{eng.spec_draft_layers}k{eng.spec_k}"
         + (f"hv{spec_head_vocab // 1000}k" if spec_head_vocab else "")
         if speculative else f"beam{beam}"
