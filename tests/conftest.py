@@ -23,3 +23,19 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_compiles_between_modules():
+    """One long pytest process accumulates hundreds of XLA:CPU
+    executables; LLVM's JIT arena eventually fails (observed twice at
+    this suite's size: 'LLVM compilation error: Cannot allocate memory'
+    after ~75 compiles in tools_spec_acceptance, and a segfault inside
+    backend_compile_and_load at ~95% of a 160-test run).  Dropping the
+    jit caches between test modules keeps the process under the
+    threshold; modules recompile their own tiny graphs, which is cheap
+    relative to arena death."""
+    yield
+    jax.clear_caches()
