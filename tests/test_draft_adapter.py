@@ -124,6 +124,32 @@ def test_distill_rejects_quantized_params():
         DR.distill(qp, TCFG, 1, [np.zeros((1, 4), np.int32)], steps=1)
 
 
+def test_distill_adapter_cli_tool(tmp_path):
+    """tools_distill_adapter.py end-to-end on the dryrun preset with
+    id-line prompts: rollouts, distillation, and a depth-stamped npz
+    that load_adapter accepts at the right depth and refuses elsewhere."""
+    sys.path.insert(0, "/root/repo")
+    import tools_distill_adapter as T
+
+    rng = np.random.RandomState(0)
+    pfile = tmp_path / "prompts.txt"
+    with open(pfile, "w") as f:
+        for _ in range(4):
+            f.write(" ".join(str(x) for x in rng.randint(5, 200, 8)) + "\n")
+        f.write("1 2\n")  # too short: dropped, not fatal
+    out = str(tmp_path / "ada.npz")
+    T.main([
+        "--model-preset", "dryrun", "--prompts", str(pfile),
+        "--prompt-tokens", "6", "--gen-len", "8", "--batch-size", "2",
+        "--draft-layers", "1", "--rank", "8", "--steps", "12",
+        "--out", out,
+    ])
+    back = DR.load_adapter(out, expect_d=1)
+    assert back["w1"].shape[1] == 8
+    with pytest.raises(ValueError, match="draft_layers=1"):
+        DR.load_adapter(out, expect_d=2)
+
+
 def test_rollout_distill_lifts_production_acceptance():
     """The deployable recipe end-to-end: distill the exit adapter on the
     TARGET MODEL'S OWN greedy rollouts (train/draft.rollout_corpus) from
