@@ -226,6 +226,61 @@ def test_eos_truncates_and_sets_hit():
     assert int(res.dec.valid_len[0]) == len(prompt) + len(ref)
 
 
+def test_batched_sample_row_cap_and_inactive_rows():
+    """Pool edge rules of the batched sampling decoder: a row cap above
+    G binds to G (staging-buffer contract), an INACTIVE row emits
+    nothing and its cache length never moves, and the active row (under
+    top_k=1) still reproduces the exact greedy chain."""
+    from infinisst_tpu.decode.speculative import batched_speculative_sample
+    from infinisst_tpu.streaming.state import init_decoder_state
+
+    params, prompt, _, _ = setup(seed=6)
+    ref, _ = seq_greedy(
+        params,
+        prompt,
+        init_and_prefill(params, prompt)[0],
+        init_and_prefill(params, prompt)[1],
+        -1, HIST, HLEN,
+    )
+
+    B = 2
+    dec = init_decoder_state(
+        CFG.num_layers, B, 64, CFG.num_kv_heads, CFG.head_dim, jnp.float32
+    )
+    ids2 = jnp.stack([prompt, prompt])
+    lg, dec = L.decode_step(params, CFG, dec, L.embed(params, ids2))
+    first2 = lg[:, -1, : CFG.vocab_size]
+    v0 = int(dec.valid_len[1])
+
+    spec = _sspec(2, k=3, top_k=1)
+    tokens, n_out, hit, dec2, rounds, drafted, accepted = (
+        batched_speculative_sample(
+            params, CFG, dec, first2, ids2,
+            jnp.asarray([len(prompt)] * B, jnp.int32),
+            jnp.stack([HIST, HIST]), jnp.zeros((B,), jnp.int32),
+            spec, jax.random.PRNGKey(0),
+            row_active=jnp.asarray([True, False]),
+            row_max_new=jnp.asarray([G + 9, G], jnp.int32),
+            encoder_ngram_size=NGRAM,
+        )
+    )
+    assert tokens[0, : int(n_out[0])].tolist() == ref
+    assert int(n_out[0]) == G  # cap bound to G despite row_max_new = G+9
+    assert int(n_out[1]) == 0 and int(drafted[1]) == 0
+    assert int(dec2.valid_len[1]) == v0  # inactive cache never moves
+    assert int(dec2.valid_len[0]) == len(prompt) + G
+
+
+def init_and_prefill(params, prompt):
+    from infinisst_tpu.streaming.state import init_decoder_state
+
+    dec = init_decoder_state(
+        CFG.num_layers, 1, 64, CFG.num_kv_heads, CFG.head_dim, jnp.float32
+    )
+    lg, dec = L.decode_step(params, CFG, dec, L.embed(params, prompt[None]))
+    return dec, lg[0, -1, : CFG.vocab_size]
+
+
 def test_agent_speculative_sampling_smoke():
     """--speculative --do-sample through the full agent: emits tokens,
     commits them in-cache (nothing pending), accumulates draft stats,
