@@ -222,9 +222,30 @@ def make_lowrank_draft_head(lm_head, rank: int, dtype=None):
 
     Returns {'w': {'a': (D, r), 'b': (r, V)}} — a full-vocab replacement
     head (no shortlist re-entry; models/quant.mm dispatches the factored
-    matmul)."""
+    matmul).
+
+    On a remote-tunnel dev backend, building from DEVICE-resident params
+    means one head fetch + one factor upload, which can dominate startup
+    (CLAUDE.md upload pathology) — a warning is emitted; precompute
+    factors offline and pass --spec-lowrank-head there instead.  Real
+    checkpoint loads build the factors while params are still host-side
+    numpy, where this is a pure host computation."""
+    import sys as _sys
+
     import numpy as np
 
+    arr = lm_head["q"] if isinstance(lm_head, dict) else lm_head
+    if isinstance(arr, jax.Array) and arr.devices() and (
+        next(iter(arr.devices())).platform not in ("cpu",)
+    ):
+        print(
+            "make_lowrank_draft_head: lm_head is device-resident "
+            f"({next(iter(arr.devices())).platform}); the SVD needs a "
+            "full head fetch + factor upload, which is slow on remote "
+            "tunnels — consider precomputing factors offline and "
+            "passing spec_lowrank_head / --spec-lowrank-head",
+            file=_sys.stderr, flush=True,
+        )
     w = dequant_head(lm_head)
     D = w.shape[0]
     if not (0 < rank <= D):

@@ -127,11 +127,26 @@ class ServingEngine:
                     "spec_lowrank_* and spec_head_vocab are mutually "
                     "exclusive draft-head choices"
                 )
+            if spec_lowrank_rank and spec_lowrank_head is not None:
+                raise ValueError(
+                    "pass spec_lowrank_rank (build by SVD at init) OR "
+                    "spec_lowrank_head (prebuilt factors), not both"
+                )
             params = dict(params)
             if spec_lowrank_head is not None:
+                w = spec_lowrank_head
+                D = cfg.llama.hidden_size
+                if w["a"].shape[0] != D or (
+                    w["a"].shape[1] != w["b"].shape[0]
+                ):
+                    raise ValueError(
+                        f"spec_lowrank_head factor shapes "
+                        f"{w['a'].shape} x {w['b'].shape} do not chain "
+                        f"from hidden size {D}"
+                    )
                 params["spec_draft_head"] = {
                     "w": jax.tree.map(
-                        lambda a: jnp.asarray(a, dtype), spec_lowrank_head
+                        lambda a: jnp.asarray(a, dtype), w
                     )
                 }
             else:

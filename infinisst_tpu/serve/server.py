@@ -189,6 +189,7 @@ def main():  # pragma: no cover - network entrypoint
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top-k", type=int, default=0)
     p.add_argument("--top-p", type=float, default=1.0)
+    p.add_argument("--epsilon-cutoff", type=float, default=0.0)
     p.add_argument("--sample-seed", type=int, default=0)
     p.add_argument("--model-preset", default="bench")
     p.add_argument("--state-dict-path", default=None)
@@ -295,6 +296,7 @@ def main():  # pragma: no cover - network entrypoint
         temperature=args.temperature,
         top_k=args.top_k,
         top_p=args.top_p,
+        epsilon_cutoff=args.epsilon_cutoff,
         sample_seed=args.sample_seed,
     )
     asyncio.run(StreamingServer(engine).run(args.host, args.port))

@@ -47,6 +47,7 @@ semantics, ref agents/infinisst.py:320-368).
 
 from __future__ import annotations
 
+import functools
 from typing import Iterable, Optional, Tuple
 
 import numpy as np
@@ -112,6 +113,37 @@ def collect_targets(
     return jax.lax.stop_gradient(h_d), jax.lax.stop_gradient(teacher)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "gen_len"))
+def _rollout(params, cfg: LlamaConfig, prompts: jnp.ndarray, gen_len: int):
+    """Jitted rollout body: params is a traced input, so repeated calls
+    with same-shaped batches reuse ONE compiled executable (jax.jit's
+    own cache keys on shapes + the static (cfg, gen_len))."""
+    from infinisst_tpu.streaming.state import init_decoder_state
+
+    B, P = prompts.shape
+    st = init_decoder_state(
+        cfg.num_layers, B, P + gen_len + 1, cfg.num_kv_heads,
+        cfg.head_dim, params["lm_head"].dtype,
+    )
+    lg, st = llama_mod.decode_step(
+        params, cfg, st, llama_mod.embed(params, prompts)
+    )
+    first = jnp.argmax(lg[:, -1, : cfg.vocab_size], -1).astype(jnp.int32)
+
+    def body(carry, _):
+        tok, st = carry
+        lg, st = llama_mod.decode_step(
+            params, cfg, st, llama_mod.embed(params, tok[:, None])
+        )
+        nxt = jnp.argmax(
+            lg[:, -1, : cfg.vocab_size], -1
+        ).astype(jnp.int32)
+        return (nxt, st), tok
+
+    _, toks = jax.lax.scan(body, (first, st), None, length=gen_len)
+    return jnp.concatenate([prompts, toks.T], axis=1)
+
+
 def rollout_corpus(
     params, cfg: LlamaConfig, prompts: jnp.ndarray, gen_len: int,
 ) -> jnp.ndarray:
@@ -120,39 +152,11 @@ def rollout_corpus(
     matches the draft's deployment distribution (the draft is only ever
     queried at positions the target itself produced) — see the module
     docstring's exposure-bias note.  Incremental decode (one prefill +
-    gen_len cached steps), jit-compiled per (B, P, gen_len)."""
+    gen_len cached steps); one compile per (B, P, gen_len) across ALL
+    calls (tools_distill_adapter loops over many batches)."""
     if isinstance(params["lm_head"], dict):
         raise ValueError("rollout_corpus needs unquantized params")
-    from infinisst_tpu.streaming.state import init_decoder_state
-
-    B, P = prompts.shape
-    dtype = params["lm_head"].dtype
-
-    @jax.jit
-    def run(prompts):
-        st = init_decoder_state(
-            cfg.num_layers, B, P + gen_len + 1, cfg.num_kv_heads,
-            cfg.head_dim, dtype,
-        )
-        lg, st = llama_mod.decode_step(
-            params, cfg, st, llama_mod.embed(params, prompts)
-        )
-        first = jnp.argmax(lg[:, -1, : cfg.vocab_size], -1).astype(jnp.int32)
-
-        def body(carry, _):
-            tok, st = carry
-            lg, st = llama_mod.decode_step(
-                params, cfg, st, llama_mod.embed(params, tok[:, None])
-            )
-            nxt = jnp.argmax(
-                lg[:, -1, : cfg.vocab_size], -1
-            ).astype(jnp.int32)
-            return (nxt, st), tok
-
-        _, toks = jax.lax.scan(body, (first, st), None, length=gen_len)
-        return jnp.concatenate([prompts, toks.T], axis=1)
-
-    return run(jnp.asarray(prompts, jnp.int32))
+    return _rollout(params, cfg, jnp.asarray(prompts, jnp.int32), gen_len)
 
 
 def _loss(adapter, params, cfg, h_d, teacher, mask):
@@ -182,12 +186,16 @@ def distill(
     key: Optional[jax.Array] = None,
     pad_id: int = -1,
     log_every: int = 0,
+    max_cached_batches: int = 4,
 ) -> Tuple[Adapter, list]:
     """Distill an exit adapter at draft depth ``d``.  ``batches`` is
     cycled for ``steps`` Adam updates; positions equal to ``pad_id`` are
     masked out of the loss.  Teacher features are cached per distinct
-    batch object (one teacher pass each), so epochs over a fixed corpus
-    pay the full forward once.
+    batch object (one teacher pass each), so epochs over a SMALL corpus
+    pay the full forward once; the cache is LRU-bounded by
+    ``max_cached_batches`` because each entry holds full-vocab (B, S, V)
+    f32 teacher logits (~0.7 GB per batch at 8B/V=128k) — many-batch
+    corpora recompute the teacher forward per visit instead of OOMing.
 
     Returns (adapter, history) with history entries
     (step, kl, top1_agreement)."""
@@ -215,16 +223,22 @@ def distill(
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(adapter, updates), opt_state, loss, agree
 
-    cache = {}
+    from collections import OrderedDict
+
+    cache: OrderedDict = OrderedDict()
     batch_list = list(batches)
     history = []
     for i in range(steps):
         ids = batch_list[i % len(batch_list)]
         bid = id(ids)
-        if bid not in cache:
+        if bid in cache:
+            cache.move_to_end(bid)
+        else:
             ids = jnp.asarray(ids, jnp.int32)
             mask = (ids != pad_id).astype(jnp.float32)
             cache[bid] = (*teacher_fn(ids, mask), mask)
+            while len(cache) > max(1, max_cached_batches):
+                cache.popitem(last=False)
         h_d, teacher, mask = cache[bid]
         adapter, opt_state, loss, agree = step_fn(
             adapter, opt_state, h_d, teacher, mask

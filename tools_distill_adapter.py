@@ -143,9 +143,10 @@ def main(argv=None):
         print(f"step {step}: kl {kl:.4f} top1-agree {agree:.4f}",
               file=sys.stderr)
     DR.save_adapter(args.out, adapter, d=args.draft_layers)
+    final = f", final agree {hist[-1][2]:.4f}" if hist else ""
     print(
         f"saved {args.out} (d={args.draft_layers}, "
-        f"rank={adapter['w1'].shape[1]}, final agree {hist[-1][2]:.4f})"
+        f"rank={adapter['w1'].shape[1]}{final})"
     )
 
 
