@@ -158,6 +158,9 @@ def main():
                 int(sys.argv[sys.argv.index("--spec-head-vocab") + 1])
                 if "--spec-head-vocab" in sys.argv else 0
             ),
+            # --spec-beam: speculative BEAM-4 search (tree verify) —
+            # the headline QUALITY config with the speculative speedup
+            spec_beam="--spec-beam" in sys.argv,
         )
         if "--spec-lowrank-rank" in sys.argv:
             # random low-rank draft-head factors (machinery row: with
@@ -305,6 +308,8 @@ def main():
     baseline_rtf = {1: 0.382, 2: 0.286, 3: 0.250, 4: 0.235}[multiplier]
     if spec_on:
         mode_tag = "spec" + (
+            "_beam4" if opts.spec_beam else ""
+        ) + (
             "_sample" if opts.do_sample else ""
         ) + (
             "_acceptall" if opts.spec_accept_all else ""

@@ -56,6 +56,8 @@ def main():
     # truncated-SVD low-rank draft head built from the demo model's own
     # lm_head at init (exact; acceptance-only cost)
     ap.add_argument("--spec-lowrank-rank", type=int, default=0)
+    # speculative BEAM search (exact beam_search winner; needs beam > 1)
+    ap.add_argument("--spec-beam", action="store_true")
     # sampling decode; combined with --speculative it runs speculative
     # SAMPLING (exact in distribution, decode/speculative.py)
     ap.add_argument("--do-sample", action="store_true")
@@ -89,6 +91,7 @@ def main():
         spec_k=args.spec_k,
         spec_head_vocab=args.spec_head_vocab,
         spec_lowrank_rank=args.spec_lowrank_rank,
+        spec_beam=args.spec_beam,
         do_sample=args.do_sample,
         temperature=args.temperature,
         top_k=args.top_k,

@@ -86,6 +86,10 @@ def add_args(p: argparse.ArgumentParser):
     # (npz with arrays 'a' (D, r) and 'b' (r, V))
     p.add_argument("--spec-lowrank-rank", type=int, default=0)
     p.add_argument("--spec-lowrank-head", type=str, default=None)
+    # --spec-beam: speculative BEAM search (decode/spec_beam.py) — the
+    # winner is exactly beam_search's; requires --speculative and
+    # --beam > 1 (the reference's quality configuration, accelerated)
+    p.add_argument("--spec-beam", action="store_true")
     p.add_argument("--do-sample", action="store_true")
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top-k", type=int, default=0)
@@ -283,6 +287,7 @@ def build_agent(args):
         spec_adapter=_load_adapter(args),
         spec_lowrank_rank=args.spec_lowrank_rank,
         spec_lowrank_head=_load_lowrank_head(args, np),
+        spec_beam=args.spec_beam,
         do_sample=args.do_sample,
         temperature=args.temperature,
         top_k=args.top_k,

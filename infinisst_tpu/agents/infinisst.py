@@ -119,6 +119,13 @@ class InfiniSSTOptions:
     # {'ln','w1','w2'} (e.g. train.draft.load_adapter) — pass
     # expect_d=spec_draft_layers at load to catch depth mismatches.
     spec_adapter: Optional[dict] = None
+    # speculative BEAM search (decode/spec_beam.py): draft the beam
+    # evolution k levels, verify the whole tree in one weight stream —
+    # the winner is exactly beam_search's (the reference's QUALITY
+    # configuration gets the speculative speedup).  Requires
+    # speculative=True and beam > 1; emission uses the deferred-commit
+    # pend path like plain beam.
+    spec_beam: bool = False
 
 
 class InfiniSSTAgent(SpeechToTextAgent):
@@ -344,7 +351,16 @@ class InfiniSSTAgent(SpeechToTextAgent):
         is_tail = n_units != m
         do_sample = self.opts.do_sample
         speculative = self.opts.speculative
-        if speculative:
+        spec_beam = speculative and self.opts.spec_beam
+        if spec_beam:
+            if do_sample:
+                raise ValueError(
+                    "spec_beam is beam-search-exact; it cannot be "
+                    "combined with --do-sample"
+                )
+            if self.opts.beam <= 1:
+                raise ValueError("spec_beam requires beam > 1")
+        if speculative and not spec_beam:
             from infinisst_tpu.decode import speculative as spec_mod
 
             if do_sample:
@@ -439,7 +455,28 @@ class InfiniSSTAgent(SpeechToTextAgent):
             last_logits = jax.lax.dynamic_index_in_dim(
                 logits[0], pend_n + S - 1, axis=0, keepdims=False
             )
-            if do_sample and not speculative:
+            if spec_beam:
+                from infinisst_tpu.decode.spec_beam import spec_beam_search
+
+                res = spec_beam_search(
+                    params["llama"],
+                    cfg.llama,
+                    dec2,
+                    last_logits,
+                    prompt_ids[0],
+                    jnp.asarray(prompt_ids.shape[1], jnp.int32),
+                    hist,
+                    hist_len,
+                    spec,  # the plain BeamSpec — same semantics
+                    draft_layers=self.opts.spec_draft_layers,
+                    draft_k=self.opts.spec_k,
+                    encoder_ngram_size=enc_ng,
+                    suppress_mask=suppress,
+                    draft_head=params.get("spec_draft_head"),
+                    exit_adapter=params.get("spec_adapter"),
+                    accept_all=self.opts.spec_accept_all,
+                )
+            elif do_sample and not speculative:
                 res = beam_mod.sample_decode(
                     params["llama"],
                     cfg.llama,
@@ -497,7 +534,7 @@ class InfiniSSTAgent(SpeechToTextAgent):
             n_emit = jnp.where(
                 res.hit_eos, res.n_tokens, jnp.maximum(res.n_tokens - 1, 0)
             )
-            if speculative:
+            if speculative and not spec_beam:
                 # speculative verification already committed the generated
                 # tokens' K/V into the cache; roll back to the EMITTED
                 # prefix (the cap-dropped final token must not condition
@@ -696,8 +733,10 @@ class InfiniSSTAgent(SpeechToTextAgent):
         n_emit = int(packed[2])
         out_ids = packed[3 : 3 + n_emit].tolist()
         if opts.speculative:
-            # tokens were committed in-cache during verification
-            self.pend_n_host = 0
+            # greedy/sampling speculation committed the tokens' K/V
+            # in-cache during verification; spec_beam defers like plain
+            # beam (the winner's tokens replay into the next prefill)
+            self.pend_n_host = n_emit if opts.spec_beam else 0
             r, dr, ac = (int(x) for x in packed[-3:])
             self.spec_rounds += r
             self.spec_drafted += dr

@@ -439,6 +439,118 @@ def beam_token_step(
     return logits, new_gk, new_gv, attn_idx
 
 
+def beam_tree_step(
+    params: Params,
+    cfg: LlamaConfig,
+    prefix: DecoderState,  # batch dim 1, valid_len (1,)
+    gen_k: jnp.ndarray,  # (L, B, Gb, KV, Dh) committed per-beam keys
+    gen_v: jnp.ndarray,
+    gen_len: jnp.ndarray,  # scalar int32: committed tokens per beam
+    x_embed: jnp.ndarray,  # (N, D) tree-node embeddings
+    node_pos: jnp.ndarray,  # (N,) int32: gen_len + level of each node
+    tree_bias: jnp.ndarray,  # (N, N) additive mask: ancestors (incl. self)
+    root: jnp.ndarray,  # (N,) int32: committed-beam index of each node
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One FULL forward over a drafted beam TREE: N nodes, each a
+    (beam-slot, level) hypothesis extension, verified in a single weight
+    stream (the speculative beam decoder, decode/spec_beam.py).
+
+    Three attention blocks per query node: the shared chunk prefix
+    (streamed once, no node axis — the two-block trick of
+    beam_token_step), the committed per-beam generation buffer gathered
+    by the node's ROOT beam (which committed path the node extends), and
+    the tree itself under ``tree_bias`` (a node sees exactly its
+    ancestor chain including itself — cross-slot ancestry is what plain
+    causal (B, S) decode cannot express).
+
+    K/V are cached UNROTATED (rotate-on-read), so a node's K/V are
+    position-independent and the decoder can COMMIT accepted nodes by
+    copying the returned tree K/V into the gen buffers.
+
+    Returns (logits (N, V), k_tree (L, N, KV, Dh), v_tree)."""
+    N, D = x_embed.shape
+    C = prefix.k.shape[2]
+    H, KV, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    inv_freq = rope_inv_freq(cfg)
+    plen = prefix.valid_len[0]
+
+    kj_p = jnp.arange(C)
+    bias_p = jnp.where(kj_p < plen, 0.0, M.NEG_INF)[None, None, None, None, :]
+    Gb = gen_k.shape[2]
+    kj_g = jnp.arange(Gb)
+    bias_g = jnp.where(kj_g < gen_len, 0.0, M.NEG_INF)[None, None, None, None, :]
+    g_pos = (plen + kj_g)[None, None]  # (1,1,Gb)
+    q_pos = (plen + node_pos)[None]  # (1,N) -> rotate per node
+    bias_t = tree_bias[:, None, None, None, :]  # (N,1,1,1,N)
+
+    scale = 1.0 / math.sqrt(Dh)
+    layers = params["layers"]
+
+    def body(carry, per_layer):
+        h, li = carry  # h (N, 1, D) — one token per node row
+        pk, pv, gk, gv = per_layer
+        lp = jax.tree.map(
+            lambda a: lax.dynamic_index_in_dim(a, li, 0, keepdims=False),
+            layers,
+        )
+        y = _rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
+        q = mm(y, lp["wq"]).reshape(N, 1, H, Dh)
+        k_new = mm(y, lp["wk"]).reshape(N, KV, Dh)
+        v_new = mm(y, lp["wv"]).reshape(N, KV, Dh)
+
+        qr = R.apply_llama_rope(
+            jnp.transpose(q, (0, 2, 1, 3)), q_pos.T[:, None], inv_freq
+        )  # (N,H,1,Dh)
+        kr_p = R.apply_llama_rope(
+            jnp.transpose(pk, (0, 2, 1, 3)), kj_p[None, None], inv_freq
+        )[0]  # (KV,C,Dh)
+        gk_n = gk[root]  # (N, Gb, KV, Dh) committed keys by node root
+        gv_n = gv[root]
+        kr_g = R.apply_llama_rope(
+            jnp.transpose(gk_n, (0, 2, 1, 3)), g_pos, inv_freq
+        )  # (N,KV,Gb,Dh)
+        # tree keys rotated at each NODE's own position
+        kr_t = R.apply_llama_rope(
+            jnp.transpose(k_new[None], (0, 2, 1, 3)), q_pos[:, None],
+            inv_freq,
+        )[0]  # (KV,N,Dh)
+
+        qg = qr.reshape(N, KV, H // KV, 1, Dh)
+        logits_p = jnp.einsum(
+            "nkgsd,ktd->nkgst", qg, kr_p, preferred_element_type=jnp.float32
+        ) * scale + bias_p
+        logits_g = jnp.einsum(
+            "nkgsd,nktd->nkgst", qg, kr_g,
+            preferred_element_type=jnp.float32,
+        ) * scale + bias_g
+        logits_t = jnp.einsum(
+            "nkgsd,kmd->nkgsm", qg, kr_t,
+            preferred_element_type=jnp.float32,
+        ) * scale + bias_t
+        logits = jnp.concatenate([logits_p, logits_g, logits_t], axis=-1)
+        w = jax.nn.softmax(logits, axis=-1).astype(pv.dtype)
+        attn = (
+            jnp.einsum("nkgst,tkd->nkgsd", w[..., :C], pv[0])
+            + jnp.einsum("nkgst,ntkd->nkgsd", w[..., C : C + Gb], gv_n)
+            + jnp.einsum("nkgsm,mkd->nkgsd", w[..., C + Gb :], v_new)
+        )
+        attn = jnp.transpose(attn.reshape(N, H, 1, Dh), (0, 2, 1, 3))
+        h = h + mm(attn.reshape(N, 1, H * Dh), lp["wo"])
+        y = _rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
+        y = jax.nn.silu(mm(y, lp["w_gate"])) * mm(y, lp["w_up"])
+        h = h + mm(y, lp["w_down"])
+        return (h, li + 1), (k_new, v_new)
+
+    (h, _), (k_tree, v_tree) = lax.scan(
+        body,
+        (x_embed[:, None], jnp.asarray(0, jnp.int32)),
+        (prefix.k, prefix.v, gen_k, gen_v),
+    )
+    h = _rms_norm(h, params["final_ln"], cfg.rms_norm_eps)
+    logits = mm(h, params["lm_head"])[:, 0, : cfg.vocab_size]  # (N, V)
+    return logits, k_tree, v_tree
+
+
 # ---------------------------------------------------------------------------
 # Eviction
 
