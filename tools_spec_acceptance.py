@@ -235,6 +235,69 @@ def main():
                 measure(d, k, 0, f"lowrank{rank}", lowrank=rank)
         release_compiles()
 
+    # speculative BEAM search (decode/spec_beam.py): acceptance counts
+    # whole B-beam selections, which is stricter than greedy token
+    # matching — these rows quantify the gap at equal draft depth
+    from infinisst_tpu.decode.beam import BeamSpec
+    from infinisst_tpu.decode.spec_beam import spec_beam_search
+
+    def run_beam(d, k, prompt):
+        key = ("beam", d, k, prompt.shape[0])
+        if key not in _JIT_CACHE:
+            bs = BeamSpec(
+                beam=4, max_new_tokens=G, eos_id=-1, pad_id=0,
+                no_repeat_ngram_size=0, repetition_penalty=1.0,
+            )
+
+            @jax.jit
+            def fn(st, first, prompt):
+                return spec_beam_search(
+                    params, CFG, st, first, prompt,
+                    jnp.asarray(prompt.shape[0], jnp.int32),
+                    jnp.zeros((8,), jnp.int32), jnp.asarray(0, jnp.int32),
+                    bs, draft_layers=d, draft_k=k,
+                )
+
+            _JIT_CACHE[key] = fn
+        st = init_decoder_state(
+            CFG.num_layers, 1, prompt.shape[0] + G + k + 1,
+            CFG.num_kv_heads, CFG.head_dim, params["embed"].dtype,
+        )
+        lg, st = L.decode_step(
+            params, CFG, st, L.embed(params, prompt[None])
+        )
+        res = jax.device_get(
+            _JIT_CACHE[key](st, lg[0, -1, : CFG.vocab_size], prompt)
+        )
+        return int(res.steps), int(res.rounds), int(res.drafted), int(
+            res.accepted
+        )
+
+    for d in (1, 2, 3, 4):
+        for kk in (2, 4):
+            row = {
+                "d_over_L": round(d / CFG.num_layers, 2),
+                "draft_layers": d, "draft_k": kk,
+                "head_vocab": CFG.vocab_size, "head_mode": "beam4",
+            }
+            for tag, prompts in (("teach", teach), ("held", held)):
+                steps = rounds = drafted = accepted = 0
+                for p in prompts:
+                    s_, r_, dr_, ac_ = run_beam(d, kk, p)
+                    steps += s_
+                    rounds += r_
+                    drafted += dr_
+                    accepted += ac_
+                row[f"{tag}_accept_rate"] = round(
+                    accepted / max(drafted, 1), 4
+                )
+                row[f"{tag}_steps_per_round"] = round(
+                    steps / max(rounds, 1), 3
+                )
+            results["rows"].append(row)
+            print(json.dumps(row), file=sys.stderr)
+        release_compiles()
+
     # distilled early-exit adapter (train/draft.py) in three regimes
     # (draft-only — exactness untouched in all of them); see the module
     # docstring for what each regime demonstrates
