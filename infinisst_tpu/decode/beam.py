@@ -57,6 +57,44 @@ class BeamResult(NamedTuple):
     kv_v: Optional[jnp.ndarray] = None  # (L, G, KV, Dh) winner values
 
 
+def select_candidates(step_scores, beam_scores):
+    """Exact top-2B candidates over (B, V) processed log-probs.
+
+    Unrolled argmax+mask instead of lax.top_k: for k=2B<=8 over ~0.5M
+    entries the full sort dominated the per-step cost on TPU (profiler:
+    ~0.6 ms/step).  Shared by beam_search and the speculative beam
+    decoder (decode/spec_beam.py) so the selection semantics cannot
+    drift.  Returns (total (B, V), top_vals (2B,), cand_beam, cand_tok).
+    """
+    B, V = step_scores.shape
+    total = step_scores + beam_scores[:, None]
+    flat = total.reshape(-1)
+    vals, idxs = [], []
+    for _ in range(2 * B):
+        i = jnp.argmax(flat)
+        vals.append(flat[i])
+        idxs.append(i)
+        flat = flat.at[i].set(NEG_INF)
+    top_vals = jnp.stack(vals)
+    top_idx = jnp.stack(idxs).astype(jnp.int32)
+    return total, top_vals, top_idx // V, top_idx % V
+
+
+def finalize_winner(spec, t, beam_scores, fin_scores):
+    """HF finalize: compare the best live beam (length-normalised by
+    generated length) against the best finished hypothesis.  Shared by
+    beam_search and decode/spec_beam.py.  Returns
+    (best_live, best_fin, use_fin, live_score)."""
+    live_score = beam_scores / jnp.maximum(t, 1).astype(
+        jnp.float32
+    ) ** spec.length_penalty
+    best_live = jnp.argmax(live_score)
+    have_fin = jnp.sum(fin_scores > NEG_INF / 2) > 0
+    best_fin = jnp.argmax(fin_scores)
+    use_fin = have_fin & (fin_scores[best_fin] >= live_score[best_live])
+    return best_live, best_fin, use_fin, live_score
+
+
 def beam_search(
     params,
     cfg: LlamaConfig,
@@ -170,23 +208,10 @@ def beam_search(
         return scores
 
     def select(step_scores, beam_scores):
-        """step_scores: (B, V) processed log-probs.  Returns 2B candidates.
-
-        Exact top-2B via unrolled argmax+mask instead of lax.top_k: for
-        k=2B<=8 over ~0.5M entries the full sort dominated the per-step
-        cost on TPU (profiler: ~0.6 ms/step)."""
-        total = step_scores + beam_scores[:, None]  # (B, V)
-        flat = total.reshape(-1)
-        vals, idxs = [], []
-        for _ in range(2 * B):
-            i = jnp.argmax(flat)
-            vals.append(flat[i])
-            idxs.append(i)
-            flat = flat.at[i].set(NEG_INF)
-        top_vals = jnp.stack(vals)
-        top_idx = jnp.stack(idxs).astype(jnp.int32)
-        cand_beam = top_idx // V
-        cand_tok = top_idx % V
+        """Exact top-2B candidates (shared impl: select_candidates)."""
+        _, top_vals, cand_beam, cand_tok = select_candidates(
+            step_scores, beam_scores
+        )
         return top_vals, cand_beam, cand_tok
 
     def step_fn(state):
@@ -403,13 +428,9 @@ def beam_search(
 
     # finalize: if no finished hypothesis, take best live beam (HF finalize
     # force-adds open hypotheses).
-    live_score = beam_scores / jnp.maximum(t, 1).astype(
-        jnp.float32
-    ) ** spec.length_penalty
-    best_live = jnp.argmax(live_score)
-    have_fin = jnp.sum(fin_scores > NEG_INF / 2) > 0
-    best_fin = jnp.argmax(fin_scores)
-    use_fin = have_fin & (fin_scores[best_fin] >= live_score[best_live])
+    best_live, best_fin, use_fin, live_score = finalize_winner(
+        spec, t, beam_scores, fin_scores
+    )
 
     tokens = jnp.where(use_fin, fin_tokens[best_fin], gen_tokens[best_live])
     n_tokens = jnp.where(use_fin, fin_len[best_fin], t)

@@ -11,7 +11,14 @@ the beam transitions with TARGET scores, accepting levels while the
 target's selection matches the draft's proposal.
 
 Exactness: the emitted result equals decode/beam.beam_search for ANY
-draft quality.  Round structure mirrors the greedy speculation:
+draft quality, up to float associativity — applied transitions are
+computed from llama.beam_tree_step logits (three-block attention) where
+plain beam uses beam_token_step (two-block), so a top-2B selection can
+in principle flip on an exactly-tied candidate pair (the same caveat as
+the greedy speculation's batched-vs-sequential verify; the equality
+tests pin f32 tiny models, where the two forwards agree to ~1e-4 and no
+flip has been observed).  Round structure mirrors the greedy
+speculation:
 
   - transition T0 runs ONCE per round from the carried target logits
     (the anchor — always exact, and computed before drafting so the
@@ -53,7 +60,12 @@ from jax import lax
 
 from infinisst_tpu.core.config import LlamaConfig
 from infinisst_tpu.decode import logits as lp
-from infinisst_tpu.decode.beam import NEG_INF, BeamSpec
+from infinisst_tpu.decode.beam import (
+    NEG_INF,
+    BeamSpec,
+    finalize_winner,
+    select_candidates,
+)
 from infinisst_tpu.decode.speculative import (
     _draft_setup,
     _shortlist_reenter,
@@ -132,21 +144,6 @@ def spec_beam_search(
             scores = lp.suppress_tokens(scores, suppress_mask)
         return scores
 
-    def select(step_scores, beam_scores):
-        """Exact top-2B candidates (same unrolled argmax as
-        decode/beam.py select)."""
-        total = step_scores + beam_scores[:, None]
-        flat = total.reshape(-1)
-        vals, idxs = [], []
-        for _ in range(2 * B):
-            i = jnp.argmax(flat)
-            vals.append(flat[i])
-            idxs.append(i)
-            flat = flat.at[i].set(NEG_INF)
-        top_vals = jnp.stack(vals)
-        top_idx = jnp.stack(idxs).astype(jnp.int32)
-        return total, top_vals, top_idx // V, top_idx % V
-
     def transition(logits_cur, t_step, beam_scores, seq_buf, seq_len,
                    gen_tokens, fin_tokens, fin_len, fin_scores,
                    force=None):
@@ -158,7 +155,9 @@ def spec_beam_search(
         ``logits_cur``."""
         scores = jax.nn.log_softmax(logits_cur.astype(jnp.float32), -1)
         scores = process_scores(scores, seq_buf, seq_len)
-        total, cand_vals, cand_beam, cand_tok = select(scores, beam_scores)
+        total, cand_vals, cand_beam, cand_tok = select_candidates(
+            scores, beam_scores
+        )
 
         is_eos = cand_tok == spec.eos_id
         rank = jnp.arange(2 * B)
@@ -230,76 +229,101 @@ def spec_beam_search(
                        gen_tokens, fin_tokens, fin_len, fin_scores)
         )
 
-        # ---- draft phase: propose T1..Tk from draft logits on a
-        # throwaway copy of the (post-T0) beam state
-        srcs = [src0]
-        toks = [tok0]
-        dbs, dsb, dsl, dgt = bs1, sb1, sl1, gt1
-        dft, dfl, dfs = ft1, fl1, fs1
-        dgk, dgv = gen_k[:d], gen_v[:d]
-        dlg = None
-        cur_tok = tok0
-        cur_src = src0
-        for s in range(1, k + 1):
-            dgk, dgv = dgk[:, cur_src], dgv[:, cur_src]
-            raw, dgk, dgv, _ = llama_mod.beam_token_step(
-                params_d, cfg_d, prefix_d, dgk, dgv,
-                t + s - 1, llama_mod.embed(params_d, cur_tok[:, None]),
-            )
-            dlg = _shortlist_reenter(raw, head_ids, head_prefix, V)
-            (src_s, tok_s, dbs, dsb, dsl, dgt, dft, dfl, dfs, _dn) = (
-                transition(dlg, t + s, dbs, dsb, dsl, dgt, dft, dfl, dfs)
-            )
-            srcs.append(src_s)
-            toks.append(tok_s)
-            cur_tok, cur_src = tok_s, src_s
-        srcs = jnp.stack(srcs)  # (k+1, B)
-        toks = jnp.stack(toks)
+        def draft_and_verify(_):
+            # ---- draft phase: propose T1..Tk from draft logits on a
+            # throwaway copy of the (post-T0) beam state
+            srcs = [src0]
+            toks = [tok0]
+            dbs, dsb, dsl, dgt = bs1, sb1, sl1, gt1
+            dft, dfl, dfs = ft1, fl1, fs1
+            dgk, dgv = gen_k[:d], gen_v[:d]
+            cur_tok = tok0
+            cur_src = src0
+            for s in range(1, k + 1):
+                dgk, dgv = dgk[:, cur_src], dgv[:, cur_src]
+                raw, dgk, dgv, _ = llama_mod.beam_token_step(
+                    params_d, cfg_d, prefix_d, dgk, dgv,
+                    t + s - 1,
+                    llama_mod.embed(params_d, cur_tok[:, None]),
+                )
+                dlg = _shortlist_reenter(raw, head_ids, head_prefix, V)
+                (src_s, tok_s, dbs, dsb, dsl, dgt, dft, dfl, dfs,
+                 _dn) = transition(
+                    dlg, t + s, dbs, dsb, dsl, dgt, dft, dfl, dfs
+                )
+                srcs.append(src_s)
+                toks.append(tok_s)
+                cur_tok, cur_src = tok_s, src_s
+            srcs_a = jnp.stack(srcs)  # (k+1, B)
+            toks_a = jnp.stack(toks)
 
-        # ---- tree structure (static unroll over the small k, B)
-        # anc[s][sp] (B,): the level-sp ancestor SLOT of node (b, s)
-        anc_tab = []
-        for s in range(k + 1):
-            chain = [None] * (s + 1)
-            cur = jnp.arange(B)
-            chain[s] = cur
-            for sp in range(s, 0, -1):
-                cur = srcs[sp][cur]
-                chain[sp - 1] = cur
-            anc_tab.append(chain)
-        N = (k + 1) * B
-        rows = []
-        roots = []
-        node_pos = []
-        for s in range(k + 1):
-            blocks = []
-            for sp in range(k + 1):
-                if sp <= s:
-                    blocks.append(
-                        anc_tab[s][sp][:, None] == jnp.arange(B)[None, :]
-                    )
-                else:
-                    blocks.append(jnp.zeros((B, B), bool))
-            rows.append(jnp.concatenate(blocks, axis=1))
-            # committed-buffer root: T0's source of the level-0 ancestor
-            roots.append(src0[anc_tab[s][0]])
-            node_pos.append(jnp.full((B,), t + s, jnp.int32))
-        tree_mask = jnp.concatenate(rows, axis=0)  # (N, N)
-        tree_bias = jnp.where(tree_mask, 0.0, NEG_INF).astype(jnp.float32)
-        root_n = jnp.concatenate(roots)
-        node_pos = jnp.concatenate(node_pos)
+            # ---- tree structure (static unroll over the small k, B)
+            # anc[s][sp] (B,): the level-sp ancestor SLOT of node (b, s)
+            anc_tab = []
+            for s in range(k + 1):
+                chain = [None] * (s + 1)
+                cur = jnp.arange(B)
+                chain[s] = cur
+                for sp in range(s, 0, -1):
+                    cur = srcs_a[sp][cur]
+                    chain[sp - 1] = cur
+                anc_tab.append(chain)
+            rows = []
+            roots = []
+            node_pos = []
+            for s in range(k + 1):
+                blocks = []
+                for sp in range(k + 1):
+                    if sp <= s:
+                        blocks.append(
+                            anc_tab[s][sp][:, None]
+                            == jnp.arange(B)[None, :]
+                        )
+                    else:
+                        blocks.append(jnp.zeros((B, B), bool))
+                rows.append(jnp.concatenate(blocks, axis=1))
+                # committed-buffer root: T0's source of the level-0
+                # ancestor
+                roots.append(src0[anc_tab[s][0]])
+                node_pos.append(jnp.full((B,), t + s, jnp.int32))
+            tree_mask = jnp.concatenate(rows, axis=0)  # (N, N)
+            tree_bias = jnp.where(
+                tree_mask, 0.0, NEG_INF
+            ).astype(jnp.float32)
+            root_n = jnp.concatenate(roots)
+            node_pos = jnp.concatenate(node_pos)
 
-        # ---- verify: ONE full weight stream over all tree nodes
-        lg_tree, k_tree, v_tree = llama_mod.beam_tree_step(
-            params, cfg, prefix, gen_k, gen_v, t,
-            llama_mod.embed(params, toks.reshape(-1)[None])[0],
-            node_pos, tree_bias, root_n,
+            # ---- verify: ONE full weight stream over all tree nodes
+            lg_tree, k_tree, v_tree = llama_mod.beam_tree_step(
+                params, cfg, prefix, gen_k, gen_v, t,
+                llama_mod.embed(params, toks_a.reshape(-1)[None])[0],
+                node_pos, tree_bias, root_n,
+            )
+            # f32: the carried logits ride the while_loop state (the
+            # model may compute bf16)
+            return (
+                lg_tree.reshape(k + 1, B, V).astype(jnp.float32),
+                k_tree.reshape(L, k + 1, B, KV, Dh),
+                v_tree.reshape(L, k + 1, B, KV, Dh),
+                srcs_a, toks_a,
+            )
+
+        def skip_round(_):
+            # T0 already terminated the search: skip the draft forwards
+            # and the tree verify entirely (the replay applies nothing —
+            # done_c starts True — and the level-0 commit below is dead
+            # state the while_loop exit never reads)
+            return (
+                jnp.zeros((k + 1, B, V), jnp.float32),
+                jnp.zeros((L, k + 1, B, KV, Dh), prefix.k.dtype),
+                jnp.zeros((L, k + 1, B, KV, Dh), prefix.k.dtype),
+                jnp.tile(src0[None], (k + 1, 1)),
+                jnp.tile(tok0[None], (k + 1, 1)),
+            )
+
+        lg_tree, k_tree, v_tree, srcs, toks = lax.cond(
+            done1, skip_round, draft_and_verify, None
         )
-        # f32: the carried logits ride the while_loop state (the model
-        # may compute bf16)
-        lg_tree = lg_tree.reshape(k + 1, B, V).astype(jnp.float32)
-        k_tree = k_tree.reshape(L, k + 1, B, KV, Dh)
-        v_tree = v_tree.reshape(L, k + 1, B, KV, Dh)
 
         # ---- replay T1..Tk with TARGET logits, applying while matched
         bs_c, sb_c, sl_c, gt_c = bs1, sb1, sl1, gt1
@@ -401,13 +425,9 @@ def spec_beam_search(
     (t, _done, _lg, beam_scores, _sb, _sl, gen_tokens, _gk, _gv,
      fin_tokens, fin_len, fin_scores, rounds, drafted, accepted) = final
 
-    live_score = beam_scores / jnp.maximum(t, 1).astype(
-        jnp.float32
-    ) ** spec.length_penalty
-    best_live = jnp.argmax(live_score)
-    have_fin = jnp.sum(fin_scores > NEG_INF / 2) > 0
-    best_fin = jnp.argmax(fin_scores)
-    use_fin = have_fin & (fin_scores[best_fin] >= live_score[best_live])
+    best_live, best_fin, use_fin, live_score = finalize_winner(
+        spec, t, beam_scores, fin_scores
+    )
 
     tokens = jnp.where(
         use_fin, fin_tokens[best_fin], gen_tokens[best_live]

@@ -429,6 +429,11 @@ def beam_token_step(
         (x_embed, jnp.asarray(0, jnp.int32)),
         (prefix.k, prefix.v, gen_k, gen_v),
     )
+    if "exit_adapter" in params:
+        # speculative draft path only (decode/spec_beam.py drafts through
+        # this step): params with this key are the draft's truncated
+        # pytree — the target model's params never carry it
+        h = apply_exit_adapter(params["exit_adapter"], h, cfg.rms_norm_eps)
     h = _rms_norm(h, params["final_ln"], cfg.rms_norm_eps)
     logits = mm(h, params["lm_head"])[:, 0, : cfg.vocab_size]  # (beam, V)
     if attn_probe is not None:

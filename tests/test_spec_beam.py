@@ -268,6 +268,44 @@ def test_agent_spec_beam_stream_matches_plain_beam():
         run(speculative=True, spec_beam=True, do_sample=True)
 
 
+def test_beam_token_step_exit_adapter_hook():
+    """The distilled exit adapter must actually run on the spec-beam
+    draft path (beam_token_step): a zero-init adapter is an exact
+    identity, a nonzero one changes the logits."""
+    from infinisst_tpu.train.draft import init_exit_adapter
+
+    params, prompt, dec0, first = setup(0)
+    B = 2
+    gen_k = jnp.zeros(
+        (CFG.num_layers, B, 4, CFG.num_kv_heads, CFG.head_dim),
+        jnp.float32,
+    )
+    gen_v = jnp.zeros_like(gen_k)
+    toks = jnp.asarray([[5], [9]], jnp.int32)
+    base, _, _, _ = L.beam_token_step(
+        params, CFG, dec0, gen_k, gen_v, jnp.asarray(0, jnp.int32),
+        L.embed(params, toks),
+    )
+    zero = dict(params)
+    zero["exit_adapter"] = init_exit_adapter(
+        jax.random.PRNGKey(0), CFG, rank=8
+    )
+    with_zero, _, _, _ = L.beam_token_step(
+        zero, CFG, dec0, gen_k, gen_v, jnp.asarray(0, jnp.int32),
+        L.embed(params, toks),
+    )
+    np.testing.assert_allclose(np.asarray(base), np.asarray(with_zero))
+    hot = dict(zero)
+    hot["exit_adapter"] = jax.tree.map(
+        lambda a: a + 0.5, zero["exit_adapter"]
+    )
+    with_hot, _, _, _ = L.beam_token_step(
+        hot, CFG, dec0, gen_k, gen_v, jnp.asarray(0, jnp.int32),
+        L.embed(params, toks),
+    )
+    assert float(jnp.abs(with_hot - base).max()) > 1e-3
+
+
 def test_spec_beam_accept_all_machinery():
     """accept_all (bench-only): every drafted level is forced, so the
     run takes ceil(steps / (k+1)) verify rounds."""
