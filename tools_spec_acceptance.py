@@ -241,8 +241,8 @@ def main():
     from infinisst_tpu.decode.beam import BeamSpec
     from infinisst_tpu.decode.spec_beam import spec_beam_search
 
-    def run_beam(d, k, prompt):
-        key = ("beam", d, k, prompt.shape[0])
+    def run_beam(d, k, prompt, adapter=None, tag_a=""):
+        key = ("beam", d, k, prompt.shape[0], tag_a)
         if key not in _JIT_CACHE:
             bs = BeamSpec(
                 beam=4, max_new_tokens=G, eos_id=-1, pad_id=0,
@@ -255,7 +255,7 @@ def main():
                     params, CFG, st, first, prompt,
                     jnp.asarray(prompt.shape[0], jnp.int32),
                     jnp.zeros((8,), jnp.int32), jnp.asarray(0, jnp.int32),
-                    bs, draft_layers=d, draft_k=k,
+                    bs, draft_layers=d, draft_k=k, exit_adapter=adapter,
                 )
 
             _JIT_CACHE[key] = fn
@@ -273,29 +273,34 @@ def main():
             res.accepted
         )
 
+    def measure_beam(d, kk, mode, adapter=None, tag_a=""):
+        row = {
+            "d_over_L": round(d / CFG.num_layers, 2),
+            "draft_layers": d, "draft_k": kk,
+            "head_vocab": CFG.vocab_size, "head_mode": mode,
+        }
+        for tag, prompts in (("teach", teach), ("held", held)):
+            steps = rounds = drafted = accepted = 0
+            for p in prompts:
+                s_, r_, dr_, ac_ = run_beam(
+                    d, kk, p, adapter=adapter, tag_a=tag_a
+                )
+                steps += s_
+                rounds += r_
+                drafted += dr_
+                accepted += ac_
+            row[f"{tag}_accept_rate"] = round(
+                accepted / max(drafted, 1), 4
+            )
+            row[f"{tag}_steps_per_round"] = round(
+                steps / max(rounds, 1), 3
+            )
+        results["rows"].append(row)
+        print(json.dumps(row), file=sys.stderr)
+
     for d in (1, 2, 3, 4):
         for kk in (2, 4):
-            row = {
-                "d_over_L": round(d / CFG.num_layers, 2),
-                "draft_layers": d, "draft_k": kk,
-                "head_vocab": CFG.vocab_size, "head_mode": "beam4",
-            }
-            for tag, prompts in (("teach", teach), ("held", held)):
-                steps = rounds = drafted = accepted = 0
-                for p in prompts:
-                    s_, r_, dr_, ac_ = run_beam(d, kk, p)
-                    steps += s_
-                    rounds += r_
-                    drafted += dr_
-                    accepted += ac_
-                row[f"{tag}_accept_rate"] = round(
-                    accepted / max(drafted, 1), 4
-                )
-                row[f"{tag}_steps_per_round"] = round(
-                    steps / max(rounds, 1), 3
-                )
-            results["rows"].append(row)
-            print(json.dumps(row), file=sys.stderr)
+            measure_beam(d, kk, "beam4")
         release_compiles()
 
     # distilled early-exit adapter (train/draft.py) in three regimes
@@ -346,6 +351,14 @@ def main():
                     head_ids=jnp.asarray(ranked[:hv]), adapter=adapter,
                     tag_a=tag_a,
                 )
+                # does the distilled adapter rescue BEAM acceptance?
+                # (whole-selection matching needs a strong draft — the
+                # open question for spec-beam's practical value)
+                for kk in (2, 4):
+                    measure_beam(
+                        d, kk, "beam4+adapter(rollout)",
+                        adapter=adapter, tag_a=tag_a,
+                    )
                 # composed with the low-rank head: the factors
                 # approximate the RAW head independent of the adapter's
                 # hidden shift, so the two cost cuts stack
