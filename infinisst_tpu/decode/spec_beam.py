@@ -303,8 +303,15 @@ def spec_beam_search(
             # model may compute bf16)
             return (
                 lg_tree.reshape(k + 1, B, V).astype(jnp.float32),
-                k_tree.reshape(L, k + 1, B, KV, Dh),
-                v_tree.reshape(L, k + 1, B, KV, Dh),
+                # cache dtype: must type-match skip_round's placeholders
+                # even when the KV cache stores a different dtype than
+                # the activations (the commit path casts anyway)
+                k_tree.reshape(L, k + 1, B, KV, Dh).astype(
+                    prefix.k.dtype
+                ),
+                v_tree.reshape(L, k + 1, B, KV, Dh).astype(
+                    prefix.k.dtype
+                ),
                 srcs_a, toks_a,
             )
 
@@ -389,10 +396,14 @@ def spec_beam_search(
             gen_k = jnp.where(write, jax.vmap(put)(gen_k, gk_s), gen_k)
             gen_v = jnp.where(write, jax.vmap(put)(gen_v, gv_s), gen_v)
 
+        # rounds counts VERIFY weight streams and drafted counts levels
+        # actually proposed: a skipped round (T0 terminated the search)
+        # ran neither
+        ran = (~done1).astype(jnp.int32)
         return (
             t + n_r, done_c, lg_carry, bs_c, sb_c, sl_c, gt_c,
-            gen_k, gen_v, ft_c, fl_c, fs_c, rounds + 1,
-            drafted + k, accepted + (n_r - 1),
+            gen_k, gen_v, ft_c, fl_c, fs_c, rounds + ran,
+            drafted + k * ran, accepted + (n_r - 1),
         )
 
     seq_buf0 = jnp.tile(
