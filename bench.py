@@ -71,6 +71,7 @@ def main():
         return bench_serve(multiplier, n_chunks, pool=pool, model=model,
                            beam=beam, multipliers=mixed,
                            speculative="--speculative" in sys.argv,
+                           spec_guard="--spec-no-guard" not in sys.argv,
                            spec_accept_all="--spec-accept-all" in sys.argv,
                            spec_head_vocab=(
                                int(sys.argv[sys.argv.index(
@@ -161,6 +162,10 @@ def main():
             # --spec-beam: speculative BEAM-4 search (tree verify) —
             # the headline QUALITY config with the speculative speedup
             spec_beam="--spec-beam" in sys.argv,
+            # the acceptance guard is ON by default (--speculative cannot
+            # lose: a below-break-even draft drops to plain-cost decode);
+            # --spec-no-guard measures the raw overhead envelope instead
+            spec_guard="--spec-no-guard" not in sys.argv,
         )
         if "--spec-lowrank-rank" in sys.argv:
             # random low-rank draft-head factors (machinery row: with
@@ -340,6 +345,11 @@ def main():
             "accept_rate": round(acc, 4),
             "rounds": agent.spec_rounds,
             "emitted": agent.spec_emitted,
+            "guard_fallback": bool(agent.spec_fallback_active),
+            "breakeven_tokens_per_round": (
+                round(agent._spec_breakeven, 3)
+                if agent._spec_breakeven is not None else None
+            ),
         }
         print(json.dumps(result))
         print(
@@ -373,7 +383,8 @@ def main():
 
 def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
                 model: str = "bench", beam: int = 4, multipliers=None,
-                speculative: bool = False, spec_accept_all: bool = False,
+                speculative: bool = False, spec_guard: bool = True,
+                spec_accept_all: bool = False,
                 spec_head_vocab: int = 0, do_sample: bool = False,
                 temperature: float = 1.0, top_k: int = 0):
     """Batched multi-client throughput: N concurrent streams through the
@@ -428,7 +439,8 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
         params, cfg, StreamConfig(), builders, pool_size=pool,
         multiplier=multiplier, dtype=dtype, beam=beam,
         multipliers=multipliers,
-        speculative=speculative, spec_accept_all=spec_accept_all,
+        speculative=speculative, spec_guard=spec_guard,
+        spec_accept_all=spec_accept_all,
         spec_head_vocab=spec_head_vocab,
         do_sample=do_sample, temperature=temperature, top_k=top_k,
     )
@@ -479,6 +491,7 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
             result["accept_rate"] = round(
                 st["accepted"] / max(st["drafted"], 1), 4
             )
+            result["guard_fallback"] = bool(eng.spec_fallback_active)
         print(json.dumps(result))
         print(
             f"MIXED pool={pool} m={ms} base_ticks={base_ticks} "
@@ -523,6 +536,7 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
         result["accept_rate"] = round(
             st["accepted"] / max(st["drafted"], 1), 4
         )
+        result["guard_fallback"] = bool(eng.spec_fallback_active)
     print(json.dumps(result))
     print(
         f"pool={pool} chunks={n_chunks} wall={wall:.2f}s tokens={n_tok} "

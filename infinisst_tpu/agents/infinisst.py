@@ -22,6 +22,7 @@ TPU-native execution model:
 
 from __future__ import annotations
 
+import sys
 from dataclasses import dataclass
 from time import perf_counter
 from typing import Dict, Optional
@@ -126,6 +127,19 @@ class InfiniSSTOptions:
     # speculative=True and beam > 1; emission uses the deferred-commit
     # pend path like plain beam.
     spec_beam: bool = False
+    # acceptance guard: --speculative cannot lose.  The agent tracks an
+    # EMA of tokens-per-verify-round and, once it sits below the
+    # weight-stream break-even (decode/speculative.
+    # breakeven_tokens_per_round) for spec_guard_patience consecutive
+    # chunks, permanently drops the stream to plain decode — same
+    # emissions (speculation is exact), plain-decode cost.  Disabled
+    # automatically under spec_accept_all (a bench ceiling, never below
+    # break-even); set spec_guard=False to measure the raw overhead
+    # envelope (bench --spec-no-guard).
+    spec_guard: bool = True
+    spec_guard_decay: float = 0.7  # per-chunk EMA decay
+    spec_guard_patience: int = 3  # consecutive below-threshold chunks
+    spec_guard_margin: float = 1.0  # threshold multiplier
 
 
 class InfiniSSTAgent(SpeechToTextAgent):
@@ -239,19 +253,24 @@ class InfiniSSTAgent(SpeechToTextAgent):
         self._suppress = jnp.asarray(sup)
 
         self._gen_fns: Dict = {}  # (n_units, first) -> jitted generate_chunk
-        self._evict_fn = jax.jit(llama_mod.evict_cache, donate_argnums=(0,))
+        # acceptance-guard break-even (static per config): tokens a verify
+        # round must emit for speculation to beat plain decode
+        self._spec_breakeven = None
+        if opts.speculative and opts.spec_guard and not opts.spec_accept_all:
+            from infinisst_tpu.decode.speculative import (
+                breakeven_tokens_per_round,
+            )
+
+            self._spec_breakeven = breakeven_tokens_per_round(
+                params["llama"],
+                model_cfg.llama.num_layers,
+                opts.spec_draft_layers,
+                opts.spec_k,
+                draft_head=params.get("spec_draft_head"),
+                exit_adapter=params.get("spec_adapter"),
+            )
         super().__init__()
         self._init_device_state()
-        # pre-compile the eviction executable so the first mid-stream
-        # eviction doesn't stall a chunk on a jit compile (~1 s): run an
-        # identity eviction (keep = valid_len = 0, sys = 0) on the fresh
-        # state.  The state is donated, so rebind it.
-        if self._uses_eviction:
-            self.dec_state = self._evict_fn(
-                self.dec_state,
-                jnp.zeros((1,), jnp.int32),
-                jnp.asarray(0, jnp.int32),
-            )
 
     def _set_multiplier_geometry(self, m: int):
         self.opts.latency_multiplier = m
@@ -305,6 +324,9 @@ class InfiniSSTAgent(SpeechToTextAgent):
         self._sample_base_key = None  # built lazily on first sampled chunk
         self.llm_cache_len = 0  # host mirror (logical: physical + pending)
         self.pend_n_host = 0
+        # deferred eviction: (keep_physical, sys_len) decided after the
+        # previous chunk, applied inside the NEXT chunk's compiled step
+        self._pending_evict = None
         self.system_prompt_size = 0
         self.first_chunk = True
         # cumulative speculative-decode stats (acceptance reporting)
@@ -312,10 +334,38 @@ class InfiniSSTAgent(SpeechToTextAgent):
         self.spec_drafted = 0
         self.spec_accepted = 0
         self.spec_emitted = 0
+        # acceptance guard (per-stream): EMA of tokens-per-verify-round,
+        # consecutive below-break-even chunks, and the sticky fallback
+        self._spec_tpr_ema = None
+        self._spec_below = 0
+        self._spec_fallback = False
 
     def reset(self):
         super().reset()
         self._init_device_state()
+
+    @property
+    def spec_fallback_active(self) -> bool:
+        """True once the acceptance guard dropped this stream to plain
+        decode (bench/telemetry surface)."""
+        return self._spec_fallback
+
+    def flush_pending_evict(self):
+        """Apply a deferred cache trim now (normally it rides the next
+        chunk's compiled step).  Only needed when inspecting ``dec_state``
+        between chunks — e.g. end-of-stream invariant checks; a live stream
+        never calls this."""
+        if self._pending_evict is None:
+            return
+        keep, sys_len = self._pending_evict
+        self._pending_evict = None
+        self.dec_state = jax.jit(
+            llama_mod.evict_cache, donate_argnums=(0,)
+        )(
+            self.dec_state,
+            jnp.asarray([keep], jnp.int32),
+            jnp.asarray(sys_len, jnp.int32),
+        )
 
     def build_states(self):
         return AgentStates()
@@ -325,7 +375,11 @@ class InfiniSSTAgent(SpeechToTextAgent):
         """Build + cache the fused jitted step for a chunk of ``n_units``
         960 ms units (n_units == m except for the stream tail)."""
         m = self.opts.latency_multiplier
-        key = (m, n_units, first)
+        # the acceptance guard's fallback selects the PLAIN decode variant
+        # of the step (same emissions — speculation is exact — without the
+        # draft's cost); both variants may coexist in the compile set
+        fallback = self._spec_fallback
+        key = (m, n_units, first, fallback)
         if key in self._gen_fns:
             return self._gen_fns[key]
         prompt = self.builder.chunk_prompt(m, first, n_patches=12 * n_units)
@@ -351,7 +405,20 @@ class InfiniSSTAgent(SpeechToTextAgent):
         is_tail = n_units != m
         do_sample = self.opts.do_sample
         speculative = self.opts.speculative
-        spec_beam = speculative and self.opts.spec_beam
+        spec_beam = speculative and self.opts.spec_beam and not fallback
+        # guard fallback: greedy/sampling speculation drops to a PERFECT
+        # self-draft (d = L, no draft head/adapter) — the draft steps ARE
+        # plain decode steps and the verify stream amortises over all of
+        # them, so per-token cost is exactly one full weight stream (plain
+        # decode cost) while emissions stay identical (the d = L perfect-
+        # draft exactness case, tests/test_speculative.py).  spec_beam
+        # drops to plain beam_search.
+        spec_d = (
+            cfg.llama.num_layers if fallback
+            else self.opts.spec_draft_layers
+        )
+        if fallback and self.opts.spec_beam:
+            speculative = False
         if spec_beam:
             if do_sample:
                 raise ValueError(
@@ -376,7 +443,7 @@ class InfiniSSTAgent(SpeechToTextAgent):
                     max_new_tokens=self.max_new,
                     eos_id=self.cfg.tokens.eos,
                     pad_id=self.cfg.tokens.pad,
-                    draft_layers=self.opts.spec_draft_layers,
+                    draft_layers=spec_d,
                     draft_k=self.opts.spec_k,
                     temperature=self.opts.temperature,
                     top_k=self.opts.top_k,
@@ -390,7 +457,7 @@ class InfiniSSTAgent(SpeechToTextAgent):
                     max_new_tokens=self.max_new,
                     eos_id=self.cfg.tokens.eos,
                     pad_id=self.cfg.tokens.pad,
-                    draft_layers=self.opts.spec_draft_layers,
+                    draft_layers=spec_d,
                     draft_k=self.opts.spec_k,
                     no_repeat_ngram_size=self.opts.no_repeat_ngram_size,
                     repetition_penalty=self.opts.repetition_penalty,
@@ -413,7 +480,17 @@ class InfiniSSTAgent(SpeechToTextAgent):
 
         def generate_chunk(params, enc_state, dec_state, window, hist,
                            hist_len, pend_tokens, pend_n, chunk_i16,
-                           rng=None):
+                           ev_keep, ev_sys, rng=None):
+            # deferred eviction: the PREVIOUS chunk's cache trim (decided on
+            # host from its emission count) is applied here, inside the same
+            # compiled step as this chunk's prefill — a separate eviction
+            # dispatch costs a fixed ~26 ms RTT per chunk on high-latency
+            # links (the gather itself is <1 ms).  Identity when no trim is
+            # pending (ev_keep == valid_len, ev_sys == 0).  The cache the
+            # prefill sees is bit-identical to the old evict-after-chunk
+            # ordering; capacity bounds are unchanged (the trim still lands
+            # before the next append).  ref: agents/infinisst.py:340-361.
+            dec_state = llama_mod.evict_cache(dec_state, ev_keep, ev_sys)
             # roll the device window; tail chunks use the last
             # (left_context + prev_chunk) of the window + the short tail
             new = chunk_i16.astype(jnp.float32)[None, :] / 32768.0
@@ -511,8 +588,13 @@ class InfiniSSTAgent(SpeechToTextAgent):
                     sp_spec,
                     encoder_ngram_size=enc_ng,
                     suppress_mask=suppress,
-                    draft_head=params.get("spec_draft_head"),
-                    exit_adapter=params.get("spec_adapter"),
+                    draft_head=(
+                        None if fallback
+                        else params.get("spec_draft_head")
+                    ),
+                    exit_adapter=(
+                        None if fallback else params.get("spec_adapter")
+                    ),
                     **extra_rng,
                 )
             else:
@@ -685,6 +767,14 @@ class InfiniSSTAgent(SpeechToTextAgent):
             _t1 = perf_counter()
         else:
             dev_chunk = jnp.asarray(chunk_i16)
+        # apply the previous chunk's pending cache trim inside this step;
+        # identity (keep = current physical length, sys = 0) otherwise
+        if self._pending_evict is not None:
+            ev_keep, ev_sys = self._pending_evict
+            self._pending_evict = None
+        else:
+            ev_keep = self.llm_cache_len - self.pend_n_host
+            ev_sys = 0
         extra = {}
         if opts.do_sample:
             # fresh randomness per chunk, reproducible per (seed, chunk #);
@@ -715,6 +805,8 @@ class InfiniSSTAgent(SpeechToTextAgent):
             self.pend_tokens,
             self.pend_n,
             dev_chunk,
+            jnp.asarray([ev_keep], jnp.int32),
+            jnp.asarray(ev_sys, jnp.int32),
             **extra,
         )
         if _dbg:
@@ -732,16 +824,53 @@ class InfiniSSTAgent(SpeechToTextAgent):
             )
         n_emit = int(packed[2])
         out_ids = packed[3 : 3 + n_emit].tolist()
-        if opts.speculative:
+        # the guard's spec_beam fallback runs the PLAIN beam graph (no spec
+        # fields in packed); greedy/sampling fallback runs the d=L
+        # self-draft spec graph (spec fields present, but they describe the
+        # fallback machinery, not the real draft — excluded from stats)
+        spec_graph = opts.speculative and not (
+            self._spec_fallback and opts.spec_beam
+        )
+        if spec_graph:
             # greedy/sampling speculation committed the tokens' K/V
             # in-cache during verification; spec_beam defers like plain
             # beam (the winner's tokens replay into the next prefill)
             self.pend_n_host = n_emit if opts.spec_beam else 0
             r, dr, ac = (int(x) for x in packed[-3:])
-            self.spec_rounds += r
-            self.spec_drafted += dr
-            self.spec_accepted += ac
+            if not self._spec_fallback:
+                self.spec_rounds += r
+                self.spec_drafted += dr
+                self.spec_accepted += ac
             self.spec_emitted += n_emit  # what the user actually saw
+            if (
+                self._spec_breakeven is not None
+                and not self._spec_fallback
+                and r > 0
+            ):
+                # tokens per verify round = accepted prefix + 1 anchor
+                tpr = (ac + r) / r
+                dc = opts.spec_guard_decay
+                self._spec_tpr_ema = (
+                    tpr if self._spec_tpr_ema is None
+                    else dc * self._spec_tpr_ema + (1.0 - dc) * tpr
+                )
+                if (
+                    self._spec_tpr_ema
+                    < self._spec_breakeven * opts.spec_guard_margin
+                ):
+                    self._spec_below += 1
+                else:
+                    self._spec_below = 0
+                if self._spec_below >= opts.spec_guard_patience:
+                    self._spec_fallback = True
+                    print(
+                        f"[spec-guard] tokens/round EMA "
+                        f"{self._spec_tpr_ema:.2f} < break-even "
+                        f"{self._spec_breakeven:.2f} for "
+                        f"{self._spec_below} chunks: dropping this "
+                        "stream to plain decode",
+                        file=sys.stderr, flush=True,
+                    )
         else:
             self.pend_n_host = n_emit
 
@@ -770,15 +899,12 @@ class InfiniSSTAgent(SpeechToTextAgent):
                 if opts.always_cache_system_prompt
                 else 0
             )
-            # async dispatch; never synchronised on.  The mirror counts
-            # logical tokens (incl. this chunk's pending, not yet physically
-            # in the cache); eviction keeps the physical tail.
-            keep_physical = new_len - self.pend_n_host
-            self.dec_state = self._evict_fn(
-                self.dec_state,
-                jnp.asarray([keep_physical], jnp.int32),
-                jnp.asarray(sys_len, jnp.int32),
-            )
+            # deferred: the trim is applied inside the NEXT chunk's step
+            # (same device-visible cache at the next prefill; saves one
+            # dispatch RTT per chunk).  The mirror counts logical tokens
+            # (incl. this chunk's pending, not yet physically in the
+            # cache); eviction keeps the physical tail.
+            self._pending_evict = (new_len - self.pend_n_host, sys_len)
             self.llm_cache_len = new_len + sys_len
 
         text = self.tokenizer.decode(out_ids, skip_special_tokens=True).strip()

@@ -109,6 +109,17 @@ class ServingEngine:
         top_p: float = 1.0,
         epsilon_cutoff: float = 0.0,
         sample_seed: int = 0,
+        # acceptance guard (pool-wide): tracks an EMA of tokens per verify
+        # round across ticks and, below the weight-stream break-even
+        # (decode/speculative.breakeven_tokens_per_round) for
+        # spec_guard_patience consecutive ticks, swaps the pool to the
+        # d=L perfect-self-draft step — identical emissions (speculation
+        # is exact at any draft), plain-decode weight cost.  Auto-disabled
+        # under spec_accept_all.
+        spec_guard: bool = True,
+        spec_guard_decay: float = 0.7,
+        spec_guard_patience: int = 3,
+        spec_guard_margin: float = 1.0,
     ):
         if do_sample and not speculative:
             raise ValueError(
@@ -210,6 +221,29 @@ class ServingEngine:
         self.spec_accept_all = spec_accept_all
         self.spec_stats = {"rounds": 0, "drafted": 0, "accepted": 0,
                            "emitted": 0}
+        # acceptance guard state (pool-wide)
+        self.spec_guard = spec_guard
+        self.spec_guard_decay = spec_guard_decay
+        self.spec_guard_patience = spec_guard_patience
+        self.spec_guard_margin = spec_guard_margin
+        self._spec_breakeven = None
+        self._spec_tpr_ema = None
+        self._spec_below = 0
+        self._spec_fallback = False
+        self._step_fn_fallback = None  # built lazily on first trip
+        if speculative and spec_guard and not spec_accept_all:
+            from infinisst_tpu.decode.speculative import (
+                breakeven_tokens_per_round,
+            )
+
+            self._spec_breakeven = breakeven_tokens_per_round(
+                params["llama"],
+                cfg.llama.num_layers,
+                spec_draft_layers,
+                spec_k,
+                draft_head=params.get("spec_draft_head"),
+                exit_adapter=params.get("spec_adapter"),
+            )
         self.do_sample = do_sample
         self.temperature = temperature
         self.top_k = top_k
@@ -267,6 +301,12 @@ class ServingEngine:
             jnp.zeros((pool_size,), jnp.int32),
         )
 
+    @property
+    def spec_fallback_active(self) -> bool:
+        """True once the acceptance guard swapped the pool to the
+        plain-cost d=L step (bench/telemetry surface)."""
+        return self._spec_fallback
+
     # -- slot management -----------------------------------------------------
     def open_stream(self, client_id: str, lang_pair=("English", "German"),
                     multiplier: Optional[int] = None):
@@ -322,13 +362,22 @@ class ServingEngine:
         s.finished_input = s.finished_input or finished
 
     # -- batched step ---------------------------------------------------------
-    def _build_step(self):
+    def _build_step(self, fallback: bool = False):
+        """``fallback=True`` builds the acceptance guard's plain-cost
+        variant: the speculative pool with a PERFECT d=L self-draft (no
+        draft head/adapter) — the draft steps ARE plain decode steps and
+        the verify stream amortises over all of them, so per-token weight
+        cost equals plain decode while emissions stay identical (the d=L
+        exactness case; works for the greedy AND the sampling pool)."""
         cfg = self.cfg
         stream = self.stream
         chunk_frames = self.chunk_frames
         max_new = self.max_new
         eos = cfg.tokens.eos
         beam_n = self.beam
+        spec_d = (
+            cfg.llama.num_layers if fallback else self.spec_draft_layers
+        )
 
         window_samples = self.window_samples
 
@@ -385,7 +434,7 @@ class ServingEngine:
                     max_new_tokens=max_new,
                     eos_id=eos,
                     pad_id=cfg.tokens.pad,
-                    draft_layers=self.spec_draft_layers,
+                    draft_layers=spec_d,
                     draft_k=self.spec_k,
                     temperature=self.temperature,
                     top_k=self.top_k,
@@ -401,8 +450,14 @@ class ServingEngine:
                         sp, rng, row_active, row_max_new=row_max_new,
                         encoder_ngram_size=stream.no_repeat_ngram_size,
                         suppress_mask=self._suppress,
-                        draft_head=params.get("spec_draft_head"),
-                        exit_adapter=params.get("spec_adapter"),
+                        draft_head=(
+                            None if fallback
+                            else params.get("spec_draft_head")
+                        ),
+                        exit_adapter=(
+                            None if fallback
+                            else params.get("spec_adapter")
+                        ),
                     )
                 )
                 stats = jnp.stack(
@@ -424,7 +479,7 @@ class ServingEngine:
                     max_new_tokens=max_new,
                     eos_id=eos,
                     pad_id=cfg.tokens.pad,
-                    draft_layers=self.spec_draft_layers,
+                    draft_layers=spec_d,
                     draft_k=self.spec_k,
                     no_repeat_ngram_size=stream.no_repeat_ngram_size,
                     repetition_penalty=stream.repetition_penalty,
@@ -437,8 +492,14 @@ class ServingEngine:
                         row_active, row_max_new=row_max_new,
                         encoder_ngram_size=stream.no_repeat_ngram_size,
                         suppress_mask=self._suppress,
-                        draft_head=params.get("spec_draft_head"),
-                        exit_adapter=params.get("spec_adapter"),
+                        draft_head=(
+                            None if fallback
+                            else params.get("spec_draft_head")
+                        ),
+                        exit_adapter=(
+                            None if fallback
+                            else params.get("spec_adapter")
+                        ),
                     )
                 )
                 stats = jnp.stack(
@@ -647,7 +708,12 @@ class ServingEngine:
                 self._sample_key, self._tick_counter
             ),)
         self._tick_counter += 1
-        out = self._step_fn(
+        if self._spec_fallback and self._step_fn_fallback is None:
+            self._step_fn_fallback = self._build_step(fallback=True)
+        step_fn = (
+            self._step_fn_fallback if self._spec_fallback else self._step_fn
+        )
+        out = step_fn(
             self.params, self.enc_state, self.dec_state, self.windows,
             jnp.asarray(chunks), jnp.asarray(ids), jnp.asarray(valid),
             jnp.asarray(patch_starts), jnp.asarray(row_active),
@@ -658,10 +724,42 @@ class ServingEngine:
         if self.speculative:
             enc2, dec2, self.windows, toks, n_tok, stats = out
             toks, n_tok, stats = jax.device_get((toks, n_tok, stats))
-            for key_, v in zip(
-                ("rounds", "drafted", "accepted", "emitted"), stats
-            ):
-                self.spec_stats[key_] += int(v)
+            if self._spec_fallback:
+                # the d=L fallback's machinery stats describe the perfect
+                # self-draft, not the real draft — only emitted counts
+                self.spec_stats["emitted"] += int(stats[3])
+            else:
+                for key_, v in zip(
+                    ("rounds", "drafted", "accepted", "emitted"), stats
+                ):
+                    self.spec_stats[key_] += int(v)
+                r, ac = int(stats[0]), int(stats[2])
+                if self._spec_breakeven is not None and r > 0:
+                    tpr = (ac + r) / r
+                    dc = self.spec_guard_decay
+                    self._spec_tpr_ema = (
+                        tpr if self._spec_tpr_ema is None
+                        else dc * self._spec_tpr_ema + (1.0 - dc) * tpr
+                    )
+                    if (
+                        self._spec_tpr_ema
+                        < self._spec_breakeven * self.spec_guard_margin
+                    ):
+                        self._spec_below += 1
+                    else:
+                        self._spec_below = 0
+                    if self._spec_below >= self.spec_guard_patience:
+                        self._spec_fallback = True
+                        import sys as _sys
+
+                        print(
+                            f"[spec-guard] pool tokens/round EMA "
+                            f"{self._spec_tpr_ema:.2f} < break-even "
+                            f"{self._spec_breakeven:.2f} for "
+                            f"{self._spec_below} ticks: swapping the pool "
+                            "to the plain-cost d=L step",
+                            file=_sys.stderr, flush=True,
+                        )
         else:
             enc2, dec2, self.windows, toks, n_tok = out
             toks, n_tok = jax.device_get((toks, n_tok))

@@ -87,6 +87,8 @@ def test_agent_stream():
     assert agent.llm_cache_len <= agent.opts.max_llm_cache_size + \
         agent.system_prompt_size
     # logical mirror = physical cache + deferred-commit pending tokens
+    # (a deferred trim may still be riding toward the next step: flush it)
+    agent.flush_pending_evict()
     assert agent.llm_cache_len == (
         int(agent.dec_state.valid_len[0]) + agent.pend_n_host
     )
@@ -144,6 +146,7 @@ def test_agent_unbounded_stream_bounded_cache():
     bound = 96 + agent.system_prompt_size + 21 + agent.max_new
     assert peak <= bound, (peak, bound)
     # physical cache is consistent with the logical mirror at the end
+    agent.flush_pending_evict()
     assert agent.llm_cache_len == (
         int(agent.dec_state.valid_len[0]) + agent.pend_n_host
     )
@@ -194,8 +197,12 @@ def test_agent_speculative_stream_matches_drafts():
     outs = {}
     stats = {}
     for d in (1, 2):
+        # guard off: this test pins RAW speculative machinery stats (the
+        # d=1 draft is deliberately terrible and would trip the guard,
+        # freezing stats mid-stream — covered by test_spec_guard.py)
         agent = make_agent(
             speculative=True, spec_draft_layers=d, spec_k=3,
+            spec_guard=False,
         )
         rng = np.random.RandomState(5)
         chunk = agent.chunk_samples
@@ -207,6 +214,7 @@ def test_agent_speculative_stream_matches_drafts():
                     agent.spec_accepted, agent.spec_emitted)
         assert agent.pend_n_host == 0
         # physical cache equals the logical mirror (no pending split)
+        agent.flush_pending_evict()
         assert int(agent.dec_state.valid_len[0]) == agent.llm_cache_len
     assert outs[1] == outs[2], (outs, stats)
     assert len(outs[1]) > 0
@@ -218,7 +226,8 @@ def test_agent_speculative_stream_matches_drafts():
              spec_head_ids=np.arange(400, 304, -2, dtype=np.int32)),
     ):
         agent = make_agent(
-            speculative=True, spec_draft_layers=2, spec_k=3, **head_kw
+            speculative=True, spec_draft_layers=2, spec_k=3,
+            spec_guard=False, **head_kw
         )
         rng = np.random.RandomState(5)
         chunk = agent.chunk_samples

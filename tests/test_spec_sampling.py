@@ -302,6 +302,7 @@ def test_agent_speculative_sampling_smoke():
         outs.append(list(agent.states.target_ids))
         assert agent.spec_rounds > 0 and agent.spec_drafted > 0
         assert agent.pend_n_host == 0
+        agent.flush_pending_evict()
         assert int(agent.dec_state.valid_len[0]) == agent.llm_cache_len
     assert outs[0] == outs[1]
     assert len(outs[0]) > 0
