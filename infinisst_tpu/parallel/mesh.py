@@ -131,6 +131,70 @@ def model_param_specs(cfg, zero: bool = False) -> Dict[str, Any]:
     }
 
 
+def sanitize_spec(shape, spec: P, mesh: Mesh) -> P:
+    """Make ``spec`` legal for ``shape``: every sharded dim must divide
+    evenly by its mesh-axis size (XLA requires even tiling for explicit
+    shardings).  The flagship vocab is deliberately odd (128263 = 128256 +
+    the reference's 7 added tokens, core/config.py LlamaConfig), so the
+    static rule trees (llama_param_specs etc.) can assign an axis to an
+    indivisible dim.  Rules, per array:
+
+    1. axes of mesh size 1 are dropped (no-op shardings free their dim);
+    2. an axis whose size does not divide its dim MIGRATES to another dim
+       that can absorb it (appended to that dim's existing axes when the
+       combined tiling still divides — e.g. embed (V=128263, D=4096) on
+       dp8: P('data', None) -> P(None, 'data'));
+    3. an axis with no viable home is dropped (that dim replicates).
+    """
+    dims: list = []
+    for i in range(len(shape)):
+        entry = spec[i] if i < len(spec) else None
+        if entry is None:
+            dims.append([])
+        elif isinstance(entry, (tuple, list)):
+            dims.append([a for a in entry if mesh.shape.get(a, 1) > 1])
+        else:
+            dims.append([entry] if mesh.shape.get(entry, 1) > 1 else [])
+
+    def divisor(axes):
+        d = 1
+        for a in axes:
+            d *= mesh.shape[a]
+        return d
+
+    homeless = []
+    for i, axes in enumerate(dims):
+        while axes and shape[i] % divisor(axes) != 0:
+            homeless.append(axes.pop())
+    for a in homeless:
+        # prefer the largest dim that can absorb the axis
+        cands = [
+            i for i in range(len(shape))
+            if shape[i] % (divisor(dims[i]) * mesh.shape[a]) == 0
+        ]
+        if cands:
+            best = max(cands, key=lambda i: shape[i] // divisor(dims[i]))
+            dims[best].append(a)
+
+    def pack(axes):
+        if not axes:
+            return None
+        return axes[0] if len(axes) == 1 else tuple(axes)
+
+    return P(*[pack(a) for a in dims])
+
+
+def sanitize_specs(shapes_tree, spec_tree, mesh: Mesh):
+    """Shape-aware pass over a spec tree (see sanitize_spec).
+    ``shapes_tree`` may hold arrays or ShapeDtypeStructs."""
+    return jax.tree.map(
+        lambda x, s: sanitize_spec(x.shape, s, mesh),
+        shapes_tree,
+        spec_tree,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
 def tree_shardings(mesh: Mesh, spec_tree):
     return jax.tree.map(
         lambda s: NamedSharding(mesh, s),
@@ -140,5 +204,5 @@ def tree_shardings(mesh: Mesh, spec_tree):
 
 
 def shard_params(params, mesh: Mesh, spec_tree):
-    sh = tree_shardings(mesh, spec_tree)
+    sh = tree_shardings(mesh, sanitize_specs(params, spec_tree, mesh))
     return jax.tree.map(jax.device_put, params, sh)

@@ -127,3 +127,66 @@ def test_stage1_freeze_keeps_llm_fixed():
         np.asarray(new_state.params["adapter"]["proj"]["w"]),
         np.asarray(params["adapter"]["proj"]["w"]),
     )
+
+
+def test_sanitize_spec_flagship_vocab():
+    """The flagship vocab (128263 = 128256 + 7 added tokens) divides by no
+    mesh axis; sanitize_spec must migrate or drop those axes so the
+    production spec trees stay legal at 8B (caught by tools_memplan)."""
+    from jax.sharding import PartitionSpec as P
+
+    from infinisst_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.make_mesh(data=4, model=2)
+
+    # embed (V, D): 'data' cannot tile V -> migrates to D alongside 'model'
+    s = pmesh.sanitize_spec((128263, 4096), P("data", "model"), mesh)
+    assert s[0] is None
+    axes = s[1] if isinstance(s[1], tuple) else (s[1],)
+    assert set(axes) == {"model", "data"}
+
+    # lm_head (D, V): 'model' cannot tile V -> joins 'data' on D
+    s = pmesh.sanitize_spec((4096, 128263), P("data", "model"), mesh)
+    axes = s[0] if isinstance(s[0], tuple) else (s[0],)
+    assert set(axes) == {"data", "model"} and s[1] is None
+
+    # divisible dims pass through untouched
+    s = pmesh.sanitize_spec((4096, 14336), P("data", "model"), mesh)
+    assert s == P("data", "model")
+
+    # axes of mesh size 1 are dropped, freeing the dim for migration
+    mesh1 = pmesh.make_mesh(data=8, model=1)
+    s = pmesh.sanitize_spec((128263, 4096), P("data", "model"), mesh1)
+    assert s == P(None, "data")
+
+    # no viable home: the axis is dropped (dim replicates)
+    s = pmesh.sanitize_spec((3, 5), P("data", None), mesh)
+    assert s == P(None, None)
+
+
+def test_sanitized_sharding_lowers_at_flagship_shapes():
+    """device_put-compatible: every sanitized flagship spec builds a legal
+    NamedSharding (even tiling), incl. the odd-vocab embed and lm_head."""
+    from jax.sharding import NamedSharding
+
+    from infinisst_tpu.core.presets import flagship_config
+    from infinisst_tpu.parallel import mesh as pmesh
+    from tools_memplan import abstract_params
+
+    cfg = flagship_config()
+    shapes = abstract_params(cfg, jnp.bfloat16)
+    for d, m in [(8, 1), (4, 2), (2, 4)]:
+        mesh = pmesh.make_mesh(data=d, model=m)
+        specs = pmesh.sanitize_specs(
+            shapes, pmesh.model_param_specs(cfg, zero=d > 1), mesh
+        )
+
+        def check(sd, sp):
+            sh = NamedSharding(mesh, sp)
+            # raises if the tiling is uneven
+            sh.shard_shape(sd.shape)
+
+        jax.tree.map(
+            check, shapes, specs,
+            is_leaf=lambda x: isinstance(x, type(specs["llama"]["embed"])),
+        )
