@@ -238,6 +238,73 @@ def main():
         n_chunks = len(schedule)
 
     chunk_sec = agent.chunk_samples / 16000.0
+
+    # --multi-stream [S]: variance-hardened headline — S distinct synthetic
+    # streams (different seeds) x >=30 chunks each through ONE agent
+    # (reset between streams; the compiled graphs are shared, so only
+    # stream 0 pays the compile).  Reports the POOLED per-chunk RTF
+    # distribution and per-stream means in one JSON artifact: the
+    # single-stream 9-chunk headline sits ~5% under the 0.2 target with
+    # ~4% run-to-run tunnel noise, so the driver needs the distribution,
+    # not a point sample.
+    if "--multi-stream" in sys.argv:
+        idx = sys.argv.index("--multi-stream")
+        n_streams = (
+            int(sys.argv[idx + 1])
+            if len(sys.argv) > idx + 1 and sys.argv[idx + 1].isdigit()
+            else 3
+        )
+        per_stream = max(n_chunks, 30)
+        pooled = []
+        stream_means = []
+        for s in range(n_streams):
+            if s > 0:
+                agent.reset()
+            srng = np.random.RandomState(100 + s)
+            stimes = []
+            for i in range(per_stream):
+                audio = srng.randn(agent.chunk_samples).astype(
+                    np.float32) * 0.1
+                # push() is the user-visible chunk latency (see the
+                # single-stream loop below for why no per-chunk sync)
+                t0 = time.perf_counter()
+                agent.push(audio, finished=False)
+                dt = time.perf_counter() - t0
+                # only stream 0's first chunks pay compile/load
+                if s > 0 or i >= warmup:
+                    stimes.append(dt)
+            jax.block_until_ready(agent.dec_state.k)  # untimed straggler sync
+            srtfs = [t / chunk_sec for t in stimes]
+            pooled.extend(srtfs)
+            stream_means.append(float(np.mean(srtfs)))
+            print(
+                f"stream {s}: chunks={len(srtfs)} "
+                f"mean={np.mean(srtfs):.4f} p95="
+                f"{np.percentile(srtfs, 95):.4f}",
+                file=sys.stderr, flush=True,
+            )
+        baseline_rtf = {1: 0.382, 2: 0.286, 3: 0.250, 4: 0.235}[multiplier]
+        rtf = float(np.mean(pooled))
+        result = {
+            "metric": f"streaming_rtf_m{multiplier}_beam4_"
+                      f"{tag}_multistream",
+            "value": round(rtf, 4),
+            "unit": "rtf",
+            "vs_baseline": round(baseline_rtf / rtf, 3),
+            "streams": n_streams,
+            "chunks_per_stream": per_stream,
+            "chunks_pooled": len(pooled),
+            "rtf_median": round(float(np.median(pooled)), 4),
+            "rtf_p95": round(float(np.percentile(pooled, 95)), 4),
+            "rtf_p99": round(float(np.percentile(pooled, 99)), 4),
+            "stream_means": [round(x, 4) for x in stream_means],
+            "stream_mean_spread": round(
+                max(stream_means) - min(stream_means), 4
+            ),
+        }
+        print(json.dumps(result))
+        return
+
     times = []
     rtfs = []
     tokens_out = 0
@@ -246,19 +313,24 @@ def main():
             agent.update_multiplier(schedule[i])
         chunk = agent.chunk_samples
         audio = rng.randn(chunk).astype(np.float32) * 0.1
+        # push() returns after fetching the chunk's emissions (host-
+        # visible tokens) — the user-visible chunk latency.  Nothing runs
+        # after it: eviction rides INSIDE the next chunk's compiled step
+        # (agents/infinisst.py deferred trim), so a per-chunk
+        # block_until_ready would only add one no-op tunnel RTT (~26 ms)
+        # of measurement artifact.  A single trailing sync after the loop
+        # catches stragglers.
         t0 = time.perf_counter()
         agent.push(audio, finished=False)
-        t1 = time.perf_counter()
-        jax.block_until_ready(agent.dec_state.k)
         dt = time.perf_counter() - t0
         print(
-            f"chunk {i} (m={agent.opts.latency_multiplier}): {dt:.3f}s "
-            f"(push+sync {t1-t0:.3f}s, evict-wait {dt-(t1-t0):.3f}s)",
+            f"chunk {i} (m={agent.opts.latency_multiplier}): {dt:.3f}s",
             file=sys.stderr, flush=True,
         )
         if i >= warmup:
             times.append(dt)
             rtfs.append(dt / (chunk / 16000.0))
+    jax.block_until_ready(agent.dec_state.k)  # untimed straggler sync
     n_tok = len(agent.states.target_ids)
 
     if schedule is not None:
@@ -381,6 +453,20 @@ def main():
     )
 
 
+def _tail_fields(slot_lat):
+    """Per-slot per-chunk latency percentiles (ms): real-time streaming
+    serving lives or dies on tails, not on mean tok/s."""
+    if not slot_lat:
+        return {}
+    a = np.asarray(slot_lat) * 1e3
+    return {
+        "slot_chunk_p50_ms": round(float(np.percentile(a, 50)), 1),
+        "slot_chunk_p95_ms": round(float(np.percentile(a, 95)), 1),
+        "slot_chunk_p99_ms": round(float(np.percentile(a, 99)), 1),
+        "slot_chunks_timed": len(slot_lat),
+    }
+
+
 def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
                 model: str = "bench", beam: int = 4, multipliers=None,
                 speculative: bool = False, spec_guard: bool = True,
@@ -462,11 +548,21 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
             eng.tick()
         n_tok0 = sum(len(eng.slots[s_].target_ids) for s_ in slots)
         base_ticks = n_chunks * m_max  # in 960 ms units
+        slot_lat = []  # per-slot per-chunk latency: tick wall when it fired
         t0 = time.perf_counter()
         for i in range(base_ticks):
             for s_ in slots:
                 eng.push_audio(s_, rng.randn(unit).astype(np.float32) * 0.1)
+            pre = [eng.slots[s_].cache_len for s_ in slots]
+            tt = time.perf_counter()
             eng.tick()
+            dt = time.perf_counter() - tt
+            # a slot "fired" if its chunk prefilled this tick (cache grew);
+            # in the mixed pool an m=2 slot fires every other tick, so its
+            # chunk latency is the wall of ITS tick, not the mean cadence
+            for j, s_ in enumerate(slots):
+                if eng.slots[s_].cache_len != pre[j]:
+                    slot_lat.append(dt)
         jax.block_until_ready(eng.dec_state.k)
         wall = time.perf_counter() - t0
         n_tok = sum(len(eng.slots[s_].target_ids) for s_ in slots) - n_tok0
@@ -492,6 +588,7 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
                 st["accepted"] / max(st["drafted"], 1), 4
             )
             result["guard_fallback"] = bool(eng.spec_fallback_active)
+        result.update(_tail_fields(slot_lat))
         print(json.dumps(result))
         print(
             f"MIXED pool={pool} m={ms} base_ticks={base_ticks} "
@@ -509,11 +606,18 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
     eng.tick()
 
     n_tok0 = sum(len(eng.slots[s_].target_ids) for s_ in slots)
+    slot_lat = []  # per-slot per-chunk latency (tail artifact)
     t0 = time.perf_counter()
     for i in range(n_chunks):
         for s_ in slots:
             eng.push_audio(s_, rng.randn(chunk).astype(np.float32) * 0.1)
+        pre = [eng.slots[s_].cache_len for s_ in slots]
+        tt = time.perf_counter()
         eng.tick()
+        dt = time.perf_counter() - tt
+        for j, s_ in enumerate(slots):
+            if eng.slots[s_].cache_len != pre[j]:
+                slot_lat.append(dt)
     jax.block_until_ready(eng.dec_state.k)
     wall = time.perf_counter() - t0
     n_tok = sum(len(eng.slots[s_].target_ids) for s_ in slots) - n_tok0
@@ -537,6 +641,7 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
             st["accepted"] / max(st["drafted"], 1), 4
         )
         result["guard_fallback"] = bool(eng.spec_fallback_active)
+    result.update(_tail_fields(slot_lat))
     print(json.dumps(result))
     print(
         f"pool={pool} chunks={n_chunks} wall={wall:.2f}s tokens={n_tok} "
