@@ -248,6 +248,164 @@ def distill(
     return adapter, history
 
 
+def beam_rollout_states(
+    params, cfg: LlamaConfig, prompt: jnp.ndarray, gen_len: int,
+    beam: int = 4,
+):
+    """Beam rollout from the TARGET model recording per-step SELECTION
+    states — the distillation corpus for speculative BEAM drafts.
+
+    Spec-beam (decode/spec_beam.py) accepts a draft round only when the
+    whole top-B selection over (B x V) flattened candidates matches the
+    target's, which depends on calibrated score ORDERING across beams at
+    beam-hypothesis prefixes — neither of which greedy-rollout KL
+    distillation trains (measured: greedy-token agreement 0.87 with the
+    rollout adapter, beam-selection acceptance 0.05-0.13;
+    docs/spec_acceptance.json).  Study conditions: no EOS, no logits
+    processors (matching tools_spec_acceptance's beam rows).
+
+    Returns a list of per-step dicts: ``buf`` (B, P+gen_len) int32 padded
+    prefixes, ``len`` int, ``beam_scores`` (B,), ``sel_beam``/``sel_tok``
+    (B,) — the teacher's selection FROM that state.
+    """
+    from infinisst_tpu.decode.beam import NEG_INF, select_candidates
+
+    B = beam
+    P = int(prompt.shape[0])
+    S = P + gen_len
+    buf = jnp.zeros((B, S), jnp.int32).at[:, :P].set(
+        jnp.asarray(prompt, jnp.int32)[None]
+    )
+    beam_scores = jnp.asarray(
+        [0.0] + [float(NEG_INF)] * (B - 1), jnp.float32
+    )
+
+    @jax.jit
+    def step_logp(buf, ln):
+        # causal attention: positions >= ln never influence position
+        # ln - 1, so the padded tail needs no mask
+        h = llama_mod.offline_hidden(
+            params, cfg, llama_mod.embed(params, buf), None
+        )
+        h_last = jnp.take_along_axis(
+            h, (ln - 1)[None, None, None].repeat(B, 0), axis=1
+        )[:, 0]
+        h_last = llama_mod._rms_norm(
+            h_last, params["final_ln"], cfg.rms_norm_eps
+        )
+        logits = (h_last @ params["lm_head"])[:, : cfg.vocab_size]
+        return jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+
+    samples = []
+    ln = P
+    for _ in range(gen_len):
+        logp = step_logp(buf, jnp.asarray(ln, jnp.int32))
+        total, _vals, cbeam, ctok = select_candidates(logp, beam_scores)
+        sel_beam, sel_tok = cbeam[:B], ctok[:B]  # no EOS: first B live
+        samples.append({
+            "buf": np.asarray(buf),
+            "len": ln,
+            "beam_scores": np.asarray(beam_scores),
+            "sel_beam": np.asarray(sel_beam),
+            "sel_tok": np.asarray(sel_tok),
+        })
+        buf = buf[sel_beam].at[:, ln].set(sel_tok)
+        beam_scores = total[sel_beam, sel_tok]
+        ln += 1
+    return samples
+
+
+def beam_selection_distill(
+    params,
+    cfg: LlamaConfig,
+    d: int,
+    samples: list,  # beam_rollout_states output (equal-shape steps)
+    *,
+    steps: int,
+    lr: float = 2e-3,
+    rank: Optional[int] = None,
+    key: Optional[jax.Array] = None,
+    batch: int = 32,
+    log_every: int = 0,
+) -> Tuple[Adapter, list]:
+    """Listwise SELECTION distillation for the spec-beam draft adapter.
+
+    Loss per recorded beam state: cross-entropy of the teacher's selected
+    (src_beam, token) pairs under the draft's flattened candidate
+    distribution softmax over B x V of (beam_scores + draft log-probs) —
+    directly optimising the event spec_beam verifies (whole-selection
+    match), on beam-hypothesis prefixes (the deployment distribution of
+    a beam draft).  Reports exact whole-selection agreement as the
+    acceptance proxy.  Backbone frozen; draft-only, exactness untouched.
+
+    Returns (adapter, history) with entries (step, ce, selection_agree).
+    """
+    if isinstance(params["lm_head"], dict):
+        raise ValueError("beam_selection_distill needs unquantized params")
+    key = jax.random.PRNGKey(0) if key is None else key
+    adapter = init_exit_adapter(key, cfg, rank, jnp.float32)
+    opt = optax.adam(lr)
+    opt_state = opt.init(adapter)
+
+    bufs = jnp.asarray(np.stack([s["buf"] for s in samples]))  # (N, B, S)
+    lens = jnp.asarray([s["len"] for s in samples], jnp.int32)  # (N,)
+    scores = jnp.asarray(np.stack([s["beam_scores"] for s in samples]))
+    selb = jnp.asarray(np.stack([s["sel_beam"] for s in samples]))
+    selt = jnp.asarray(np.stack([s["sel_tok"] for s in samples]))
+    N, B, S = bufs.shape
+    V = cfg.vocab_size
+
+    @jax.jit
+    def feats(bufs, lens):
+        # teacher layer-d hiddens at the last valid position, per beam
+        x = llama_mod.embed(params, bufs.reshape(N * B, S))
+        h = llama_mod.offline_hidden(params, cfg, x, None, num_layers=d)
+        h = h.reshape(N, B, S, -1)
+        idx = (lens - 1)[:, None, None, None]
+        return jax.lax.stop_gradient(
+            jnp.take_along_axis(h, idx.repeat(B, 1), axis=2)[:, :, 0]
+        )  # (N, B, D)
+
+    h_d = feats(bufs, lens)
+
+    def _loss(adapter, h, sc, sb, st_):
+        hh = llama_mod.apply_exit_adapter(adapter, h, cfg.rms_norm_eps)
+        hh = llama_mod._rms_norm(hh, params["final_ln"], cfg.rms_norm_eps)
+        logp = jax.nn.log_softmax(
+            (hh @ params["lm_head"])[..., :V].astype(jnp.float32), -1
+        )
+        flat = (sc[..., None] + logp).reshape(-1, B * V)
+        idx = sb * V + st_  # (n, B)
+        lsm = jax.nn.log_softmax(flat, -1)
+        ce = -jnp.take_along_axis(lsm, idx, axis=-1).mean()
+        # exact whole-selection agreement (the spec-beam accept event):
+        # the draft's top-B flattened candidates == the teacher's set
+        top = jax.lax.top_k(flat, B)[1]  # (n, B)
+        match = (jnp.sort(top, -1) == jnp.sort(idx, -1)).all(-1)
+        return ce, match.mean()
+
+    @jax.jit
+    def step_fn(adapter, opt_state, h, sc, sb, st_):
+        (ce, agree), grads = jax.value_and_grad(_loss, has_aux=True)(
+            adapter, h, sc, sb, st_
+        )
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(adapter, updates), opt_state, ce, agree
+
+    history = []
+    rng = np.random.RandomState(0)
+    for i in range(steps):
+        sel = rng.choice(N, size=min(batch, N), replace=False)
+        sel = jnp.asarray(np.sort(sel))
+        adapter, opt_state, ce, agree = step_fn(
+            adapter, opt_state, h_d[sel], scores[sel], selb[sel],
+            selt[sel],
+        )
+        if log_every and (i % log_every == 0 or i == steps - 1):
+            history.append((i, float(ce), float(agree)))
+    return adapter, history
+
+
 def save_adapter(path: str, adapter: Adapter, d: int) -> None:
     """npz with the draft depth baked in (load_adapter validates it)."""
     np.savez(

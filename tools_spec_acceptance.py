@@ -135,6 +135,11 @@ def main():
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--distill-steps", type=int, default=400)
     ap.add_argument("--json", type=str, default=None)
+    ap.add_argument("--only-beam", action="store_true",
+                    help="run only the spec-beam sections (baseline beam "
+                         "rows + the beam-aware listwise adapter regime) "
+                         "and MERGE rows into an existing --json artifact")
+    ap.add_argument("--beam-distill-steps", type=int, default=600)
     args = ap.parse_args()
 
     rng = np.random.RandomState(0)
@@ -156,8 +161,9 @@ def main():
 
     # greedy references (production processors off, matching run_spec)
     refs = {}
-    for tag, prompts in (("teach", teach), ("held", held)):
-        refs[tag] = [greedy_rollout(params, p, 32) for p in prompts]
+    if not args.only_beam:
+        for tag, prompts in (("teach", teach), ("held", held)):
+            refs[tag] = [greedy_rollout(params, p, 32) for p in prompts]
 
     results = {
         "config": f"llama D=256 I=512 L=4 V=512 f32-trained "
@@ -216,24 +222,25 @@ def main():
         _JIT_CACHE.clear()
         jax.clear_caches()
 
-    for d in (1, 2, 3, 4):
-        for k in (4, 9):
-            for mode, hv in variants:
-                head_ids = (
-                    jnp.asarray(ranked[:hv]) if mode == "ranked" and hv
-                    else None
-                )
-                measure(d, k, hv, mode, head_ids=head_ids)
-        release_compiles()
-
-    # low-rank draft head (truncated SVD of the trained head): the
-    # acceptance cost of rank truncation, complementing the hardware
-    # machinery rows (the factors cut the dominant draft head stream)
-    for d in (1, 2, 4):
-        for rank in (CFG.hidden_size // 2, CFG.hidden_size // 4):
+    if not args.only_beam:
+        for d in (1, 2, 3, 4):
             for k in (4, 9):
-                measure(d, k, 0, f"lowrank{rank}", lowrank=rank)
-        release_compiles()
+                for mode, hv in variants:
+                    head_ids = (
+                        jnp.asarray(ranked[:hv]) if mode == "ranked" and hv
+                        else None
+                    )
+                    measure(d, k, hv, mode, head_ids=head_ids)
+            release_compiles()
+
+        # low-rank draft head (truncated SVD of the trained head): the
+        # acceptance cost of rank truncation, complementing the hardware
+        # machinery rows (the factors cut the dominant draft head stream)
+        for d in (1, 2, 4):
+            for rank in (CFG.hidden_size // 2, CFG.hidden_size // 4):
+                for k in (4, 9):
+                    measure(d, k, 0, f"lowrank{rank}", lowrank=rank)
+            release_compiles()
 
     # speculative BEAM search (decode/spec_beam.py): acceptance counts
     # whole B-beam selections, which is stricter than greedy token
@@ -298,10 +305,77 @@ def main():
         results["rows"].append(row)
         print(json.dumps(row), file=sys.stderr)
 
-    for d in (1, 2, 3, 4):
-        for kk in (2, 4):
-            measure_beam(d, kk, "beam4")
+    if args.only_beam:
+        # same-process baseline for the beam-aware regime (the model is
+        # retrained from identical seeds, but near-ties can fork across
+        # processes on an overfit model)
+        for d in (1, 2):
+            for kk in (2, 4):
+                measure_beam(d, kk, "beam4(rebaseline)")
         release_compiles()
+    else:
+        for d in (1, 2, 3, 4):
+            for kk in (2, 4):
+                measure_beam(d, kk, "beam4")
+            release_compiles()
+
+    from infinisst_tpu.train import draft as DR
+
+    # beam-aware LISTWISE adapter (train/draft.beam_selection_distill):
+    # roll out BEAM states with the target, then distill the adapter on
+    # the SELECTION event spec_beam actually verifies — cross-entropy of
+    # the teacher's chosen (src_beam, token) pairs under the draft's
+    # flattened candidate softmax — on beam-hypothesis prefixes.  The
+    # greedy-rollout KL adapter reached greedy agreement 0.87 yet lifted
+    # beam acceptance only to 0.085 (whole-selection matching needs
+    # cross-beam score ordering, not argmax agreement); this regime is
+    # the VERDICT-r3 #5 experiment: does a beam-aware draft make
+    # spec-beam pay?
+    roll_beam = []
+    for p in list(teach) + list(held):
+        roll_beam.extend(
+            DR.beam_rollout_states(params, CFG, p, G, beam=4)
+        )
+    S_max = max(s["buf"].shape[1] for s in roll_beam)
+    for s in roll_beam:
+        pad = S_max - s["buf"].shape[1]
+        if pad:
+            s["buf"] = np.pad(s["buf"], ((0, 0), (0, pad)))
+    for d in (1, 2):
+        print(f"beam-listwise distilling d={d}...", file=sys.stderr)
+        adapter_b, hist_b = DR.beam_selection_distill(
+            params, CFG, d, roll_beam, steps=args.beam_distill_steps,
+            lr=2e-3, key=jax.random.PRNGKey(60 + d), log_every=100,
+        )
+        results[f"beam_distill_d{d}"] = [
+            {"step": s_, "ce": round(l_, 4),
+             "selection_agree": round(a_, 4)}
+            for s_, l_, a_ in hist_b
+        ]
+        for kk in (2, 4):
+            measure_beam(
+                d, kk, "beam4+adapter(beamroll-listwise)",
+                adapter=adapter_b, tag_a=f"d{d}-beamroll",
+            )
+        release_compiles()
+
+    if args.only_beam:
+        print(json.dumps(results, indent=2))
+        if args.json:
+            import os
+
+            out = results
+            if os.path.exists(args.json):
+                with open(args.json) as f:
+                    prev = json.load(f)
+                prev["rows"].extend(results["rows"])
+                for kk in results:
+                    if kk.startswith("beam_distill"):
+                        prev[kk] = results[kk]
+                out = prev
+            with open(args.json, "w") as f:
+                json.dump(out, f, indent=2)
+        return
 
     # distilled early-exit adapter (train/draft.py) in three regimes
     # (draft-only — exactness untouched in all of them); see the module
