@@ -111,18 +111,34 @@ def main():
         k = jax.random.PRNGKey(0)
         lm_head_int8 = "--bf16-head" not in sys.argv
         act_int8 = "--no-act-int8" not in sys.argv
-        group128 = "--group128" in sys.argv  # per-group scales (quality belt)
+        # per-group weight/activation scales (quality-belt modes):
+        # --group128 = 32 groups/4096 (fine belt), --group-size 512 =
+        # 8 groups (fast belt: the einsum's (M, G, O) int32 HBM
+        # intermediate scales with G, so G=8 costs a quarter of G=32)
+        group_size = 128 if "--group128" in sys.argv else 0
+        if "--group-size" in sys.argv:
+            group_size = int(sys.argv[sys.argv.index("--group-size") + 1])
+        group128 = bool(group_size)
         params = {
             "w2v2": W.init_params(jax.random.fold_in(k, 0), cfg.w2v2, dtype),
             "adapter": A.init_params(jax.random.fold_in(k, 1), cfg.adapter, dtype),
             "llama": init_quantized_llama(
                 jax.random.fold_in(k, 2), cfg.llama,
                 act_int8=act_int8, lm_head_int8=lm_head_int8,
-                group_size=128 if group128 else 0,
+                group_size=group_size,
+                # the belt keeps the lm_head per-channel (the grouped
+                # einsum costs ~25% extra on the 512 MB head stream for
+                # no proxy-measurable fidelity gain); --group-head opts
+                # the head back in
+                head_group_size=(
+                    group_size if "--group-head" in sys.argv else 0
+                ),
             ),
         }
         quantize = False  # already quantized at init
-        tag = "8b_int8" + ("_g128" if group128 else "")
+        tag = "8b_int8" + (f"_g{group_size}" if group_size else "") + (
+            "h" if group_size and "--group-head" in sys.argv else ""
+        )
     else:
         cfg = bench_1chip_config()
         dtype = jnp.bfloat16
@@ -182,6 +198,31 @@ def main():
                     jax.random.fold_in(kl, 1), (r, V), dtype
                 ) / (r ** 0.5),
             }
+        if "--spec-resid-scale" in sys.argv:
+            # calibrated-agreement sweep: scale the OUTPUT projections
+            # (wo, w_down -> the residual contributions) of every layer
+            # ABOVE the draft depth by alpha.  alpha=0 makes the upper
+            # layers exact identities (draft argmax == target argmax:
+            # acceptance 1.0 through the REAL verify/accept path, unlike
+            # --spec-accept-all which bypasses it); alpha=1 is the honest
+            # random-weight floor (~0).  Intermediate alphas land at
+            # GENUINE measured acceptance rates with the full weight
+            # stream unchanged, so the rows map the true RTF-vs-acceptance
+            # envelope of the machinery — acceptance itself is a property
+            # of the checkpoint, which this environment does not have
+            # (see ARCHITECTURE.md speculative table).
+            alpha = float(
+                sys.argv[sys.argv.index("--spec-resid-scale") + 1]
+            )
+            d_cut = spec_kw["spec_draft_layers"]
+            lyr = dict(params["llama"]["layers"])
+            for kk in ("wo", "w_down"):
+                wq = dict(lyr[kk])
+                skey = "scale_a8" if "scale_a8" in wq else "scale"
+                wq[skey] = wq[skey].at[d_cut:].multiply(alpha)
+                lyr[kk] = wq
+            params["llama"] = dict(params["llama"], layers=lyr)
+            spec_kw["_resid_alpha"] = alpha  # tag only, popped below
         if "--spec-adapter-rank" in sys.argv:
             # random early-exit adapter (train/draft.py shape): with
             # random bench weights acceptance is ~0 either way, so this
@@ -213,6 +254,7 @@ def main():
                 if "--top-k" in sys.argv else 0
             ),
         )
+    resid_alpha = spec_kw.pop("_resid_alpha", None)
     opts = InfiniSSTOptions(
         latency_multiplier=multiplier,
         beam=4,
@@ -399,6 +441,8 @@ def main():
         ) + (
             f"_ada{opts.spec_adapter['w1'].shape[1]}"
             if opts.spec_adapter is not None else ""
+        ) + (
+            f"_ra{resid_alpha:g}" if resid_alpha is not None else ""
         )
         acc = (
             agent.spec_accepted / agent.spec_drafted

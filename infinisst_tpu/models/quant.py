@@ -13,7 +13,7 @@ the token embedding (gather) and optionally the lm_head stay bf16.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,9 @@ from infinisst_tpu.kernels.quant_matmul import (
     quantize_activation,
     quantize_weight,
     quantized_matmul,
+    quantize_activation_grouped,
     quantized_matmul_w8a8,
+    quantized_matmul_w8a8_grouped,
 )
 
 QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
@@ -60,23 +62,40 @@ def mm(y: jnp.ndarray, w, interpret: bool = False) -> jnp.ndarray:
             # per-(row, group) activation scales: the finer grain bounds
             # the quant error of outlier channels (the optional
             # quality-belt mode; fidelity table in ARCHITECTURE.md).
-            # Lowered as a G-batched int8 MXU matmul; the (M, G, O) int32
-            # intermediate fuses into the rescale+sum.
-            Gr, O = w["scale_a8"].shape
-            M, D = y2.shape
-            gs = D // Gr
-            yg = y2.reshape(M, Gr, gs).astype(jnp.float32)
-            y_s = jnp.maximum(
-                jnp.max(jnp.abs(yg), axis=-1, keepdims=True), 1e-8
-            ) / 127.0  # (M, Gr, 1)
-            y_q = jnp.clip(jnp.round(yg / y_s), -127, 127).astype(jnp.int8)
-            acc = jnp.einsum(
-                "mgk,gko->mgo", y_q, w["q"].reshape(Gr, gs, O),
-                preferred_element_type=jnp.int32,
-            )
-            out = (
-                acc.astype(jnp.float32) * y_s * w["scale_a8"][None]
-            ).sum(axis=1).astype(y.dtype)
+            import os
+
+            if (
+                jax.default_backend() == "tpu"
+                and os.environ.get("INFINISST_GROUPED_PALLAS") == "1"
+            ):
+                # Pallas grouped kernel: measured SLOWER end-to-end than
+                # the XLA einsum at 8B decode shapes (0.309 vs 0.213 RTF
+                # — the fixed per-call cost across 7 projections x 32
+                # layers dominates, same failure mode as the demoted
+                # per-channel W8A8 kernel); kept behind this env flag as
+                # a measured-and-rejected alternative for shapes where a
+                # fused kernel may win (single very wide matmuls).
+                out = quantized_matmul_w8a8_grouped(
+                    y2, w["q"], w["scale_a8"], out_dtype=y.dtype
+                )
+            else:
+                # XLA fallback (CPU tests / non-TPU): G-batched int8 dot +
+                # rescale-sum; same quantize_activation_grouped as the
+                # kernel, so both backends are bit-identical
+                Gr, O = w["scale_a8"].shape
+                M, D = y2.shape
+                gs = D // Gr
+                y_q, y_s = quantize_activation_grouped(y2, gs)
+                acc = jnp.einsum(
+                    "mgk,gko->mgo",
+                    y_q.reshape(M, Gr, gs), w["q"].reshape(Gr, gs, O),
+                    preferred_element_type=jnp.int32,
+                )
+                out = (
+                    acc.astype(jnp.float32)
+                    * y_s[..., None]
+                    * w["scale_a8"][None]
+                ).sum(axis=1).astype(y.dtype)
         else:
             # Pure XLA: int8 x int8 dot_general lowers natively to the MXU
             # (int32 accumulate) and the rescale fuses into the surrounding
@@ -130,12 +149,16 @@ def _quantize_stacked(
 
 def init_quantized_llama(key, cfg, dtype=None, embed_dtype=None,
                          act_int8=False, lm_head_int8=False,
-                         group_size=0):
+                         group_size=0, head_group_size=None):
     """Random-init llama params directly in int8 (projections) + bf16
     (embed/lm_head/norms) — avoids staging the full bf16 model in HBM,
     which matters when the quantized model barely fits the chip (8B on one
     16 GB v5e).  ``group_size`` initialises per-(input-group, out-channel)
-    scales (the W8A8 quality-belt layout; requires act_int8)."""
+    scales (the W8A8 quality-belt layout; requires act_int8).
+    ``head_group_size`` defaults to 0 (per-channel head — the belt keeps
+    the head per-channel: fidelity-equal on the proxy and the grouped
+    einsum costs ~25% extra on the 512 MB head stream); pass
+    ``group_size`` explicitly to group the head too."""
     import math
 
     import jax
@@ -178,14 +201,15 @@ def init_quantized_llama(key, cfg, dtype=None, embed_dtype=None,
     # measured SLOWER end-to-end — the convert is VPU-bound at 128k output
     # width.  ``lm_head_int8`` uses the W8A8 path instead (native int8 MXU,
     # no convert), which restores the 2x byte saving on the ~2.1 GB head.
+    hgs = 0 if head_group_size is None else head_group_size
     if lm_head_int8:
         # vocab padded to a 512 multiple (128263 with the 7 special tokens
         # is not even 128-divisible); pad scales are zero and llama.py
         # slices logits back to vocab_size
         Vp = ((V + 511) // 512) * 512
         sval = 1.0 / (127 * math.sqrt(D))
-        if group_size:
-            scale = jnp.full((D // group_size, Vp), sval, jnp.float32)
+        if hgs:
+            scale = jnp.full((D // hgs, Vp), sval, jnp.float32)
             scale = scale.at[:, V:].set(0.0)
         else:
             scale = jnp.full((Vp,), sval, jnp.float32)
@@ -211,6 +235,7 @@ def quantize_llama_params(
     quantize_lm_head: bool = False,
     act_int8: bool = False,
     group_size: int = 0,
+    head_group_size: Optional[int] = None,
 ) -> Dict[str, Any]:
     """Quantize the per-layer projections (and optionally lm_head).
 
@@ -234,14 +259,15 @@ def quantize_llama_params(
             assert w.shape[1] % group_size == 0, (k, w.shape, group_size)
         layers[k] = _quantize_stacked(w, a8=act_int8, group_size=group_size)
     out["layers"] = layers
+    hgs = 0 if head_group_size is None else head_group_size
     if quantize_lm_head:
         w = params["lm_head"]
         V = w.shape[-1]
         Vp = ((V + 511) // 512) * 512
         if Vp != V:
             w = jnp.pad(w, ((0, 0), (0, Vp - V)))
-        if group_size:
-            q, s = _quantize_grouped(w, group_size)
+        if hgs:
+            q, s = _quantize_grouped(w, hgs)
             s = s.at[:, V:].set(0.0) if Vp != V else s
         else:
             q, s = quantize_weight(w, axis=0)

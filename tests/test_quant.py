@@ -189,3 +189,30 @@ def test_init_quantized_llama_group_shapes():
     st = init_decoder_state(2, 1, 8, 2, 128, dtype=jnp.bfloat16)
     lg, _ = L.decode_step(params, cfg, st, L.embed(params, toks))
     assert np.isfinite(np.asarray(lg, np.float32)).all()
+
+
+def test_quantized_matmul_w8a8_grouped_interpret():
+    """Pallas grouped-W8A8 kernel == the XLA einsum reference, exactly the
+    same int8 arithmetic (the quality-belt decode path, models/quant.mm)."""
+    from infinisst_tpu.kernels.quant_matmul import (
+        quantized_matmul_w8a8_grouped,
+        quantized_matmul_w8a8_grouped_reference,
+    )
+
+    k = jax.random.PRNGKey(3)
+    M, D, O, gs = 5, 256, 384, 64
+    y = jax.random.normal(k, (M, D), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(k, 1), (D, O), jnp.float32)
+    wg = w.reshape(D // gs, gs, O)
+    s = jnp.maximum(jnp.max(jnp.abs(wg), axis=1), 1e-8) / 127.0
+    wq = jnp.clip(
+        jnp.round(wg / s[:, None, :]), -127, 127
+    ).astype(jnp.int8).reshape(D, O)
+
+    ref = quantized_matmul_w8a8_grouped_reference(y, wq, s)
+    out = quantized_matmul_w8a8_grouped(y, wq, s, tile_o=128, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4
+    )
+    # and the (M, O) shape survives M not divisible by the tile
+    assert out.shape == (M, O)

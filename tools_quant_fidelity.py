@@ -172,7 +172,33 @@ def quant_variants(params):
     out = {"bf16": bf16, "w8": w8, "w8a8": w8a8}
     try:
         out["w8a8_g128"] = Q.quantize_llama_params(
-            params, quantize_lm_head=True, act_int8=True, group_size=128
+            params, quantize_lm_head=True, act_int8=True, group_size=128,
+            head_group_size=128,
+        )
+        # the DEPLOYED belt (bench --group128): grouped projections,
+        # per-channel head — the grouped einsum costs ~25% extra on the
+        # 512 MB head stream while head fidelity is group-insensitive
+        out["w8a8_g128_projonly"] = Q.quantize_llama_params(
+            params, quantize_lm_head=True, act_int8=True, group_size=128,
+        )
+        # group-COUNT analogues of the flagship belt modes (this proxy has
+        # D=256, so the fidelity-relevant quantity is how many groups the
+        # input dim splits into, not the literal group width):
+        #   8 groups  ~ flagship --group-size 512 (coarse)
+        #   32 groups ~ flagship --group128 (the belt)
+        out["w8a8_8groups_like_g512"] = Q.quantize_llama_params(
+            params, quantize_lm_head=True, act_int8=True,
+            group_size=CFG.hidden_size // 8,
+            head_group_size=CFG.hidden_size // 8,
+        )
+        out["w8a8_32groups_like_g128"] = Q.quantize_llama_params(
+            params, quantize_lm_head=True, act_int8=True,
+            group_size=CFG.hidden_size // 32,
+            head_group_size=CFG.hidden_size // 32,
+        )
+        out["w8a8_32groups_projonly"] = Q.quantize_llama_params(
+            params, quantize_lm_head=True, act_int8=True,
+            group_size=CFG.hidden_size // 32,
         )
     except TypeError:
         print("  (group_size not available; skipping w8a8_g128)",
