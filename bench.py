@@ -72,6 +72,12 @@ def main():
                            beam=beam, multipliers=mixed,
                            speculative="--speculative" in sys.argv,
                            spec_guard="--spec-no-guard" not in sys.argv,
+                           spec_resid_scale=(
+                               float(sys.argv[sys.argv.index(
+                                   "--spec-resid-scale") + 1])
+                               if "--spec-resid-scale" in sys.argv
+                               else None
+                           ),
                            spec_accept_all="--spec-accept-all" in sys.argv,
                            spec_head_vocab=(
                                int(sys.argv[sys.argv.index(
@@ -514,7 +520,7 @@ def _tail_fields(slot_lat):
 def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
                 model: str = "bench", beam: int = 4, multipliers=None,
                 speculative: bool = False, spec_guard: bool = True,
-                spec_accept_all: bool = False,
+                spec_resid_scale=None, spec_accept_all: bool = False,
                 spec_head_vocab: int = 0, do_sample: bool = False,
                 temperature: float = 1.0, top_k: int = 0):
     """Batched multi-client throughput: N concurrent streams through the
@@ -563,6 +569,18 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
         tag = "1chip"
     tok = StubTokenizer(cfg.llama.vocab_size)
     builders = {("English", "German"): PromptBuilder(tok, cfg.tokens)}
+    if speculative and spec_resid_scale is not None:
+        # calibrated-agreement point for the pool (see the stream-mode
+        # --spec-resid-scale comment): scale the residual contributions
+        # of layers above the engine's draft depth (8)
+        d_cut = 8
+        lyr = dict(params["llama"]["layers"])
+        for kk in ("wo", "w_down"):
+            wq = dict(lyr[kk])
+            skey = "scale_a8" if "scale_a8" in wq else "scale"
+            wq[skey] = wq[skey].at[d_cut:].multiply(spec_resid_scale)
+            lyr[kk] = wq
+        params["llama"] = dict(params["llama"], layers=lyr)
     if speculative:
         beam = 1  # spec serving is greedy-exact
     eng = ServingEngine(
@@ -617,6 +635,8 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
             f"{'AA' if spec_accept_all else ''}"
             f"d{eng.spec_draft_layers}k{eng.spec_k}"
             + (f"hv{spec_head_vocab // 1000}k" if spec_head_vocab else "")
+            + (f"ra{spec_resid_scale:g}" if spec_resid_scale is not None
+               else "")
             if speculative else f"beam{beam}"
         )
         result = {

@@ -183,3 +183,77 @@ def test_fixture_is_reproducible(tmp_path):
         with open(out / fname, "rb") as f:
             rebuilt = f.read()
         assert committed == rebuilt, fname
+
+
+@pytest.mark.slow
+def test_agent_streams_end_to_end_with_real_tokenizer(ftok):
+    """Full InfiniSST agent loop driven by the REAL tokenizer files: HF
+    chat-template prompts (date preamble + strip), register_special_tokens
+    ids, streaming prefill/beam/evict, and text emission decoded by the
+    real byte-level BPE — the last integration seam the per-component
+    fixture tests leave open (ref agents/infinisst.py:225-268)."""
+    import jax.numpy as jnp
+
+    from infinisst_tpu.agents.infinisst import (
+        InfiniSSTAgent,
+        InfiniSSTOptions,
+    )
+    from infinisst_tpu.core.config import StreamConfig
+    from infinisst_tpu.core.presets import dryrun_config
+    from infinisst_tpu.models import adapter as A
+    from infinisst_tpu.models import llama as L
+    from infinisst_tpu.models import wav2vec2 as W
+
+    import dataclasses
+
+    tok, toks = ftok
+    base_cfg = dryrun_config()
+    V = ((toks.latency[-1] + 1 + 7) // 8) * 8  # cover base vocab + extras
+    cfg = dataclasses.replace(
+        base_cfg,
+        llama=dataclasses.replace(base_cfg.llama, vocab_size=V),
+        tokens=toks,
+    )
+
+    import jax
+
+    k = jax.random.PRNGKey(0)
+    params = {
+        "w2v2": W.init_params(jax.random.fold_in(k, 0), cfg.w2v2),
+        "adapter": A.init_params(jax.random.fold_in(k, 1), cfg.adapter),
+        "llama": L.init_params(jax.random.fold_in(k, 2), cfg.llama),
+    }
+    builder = PromptBuilder(
+        HFTokenizerAdapter(tok), toks, use_hf_template=True, llama31=True
+    )
+    assert builder.use_hf_template
+    stream = StreamConfig(
+        max_cache_frames=96, max_llm_cache_tokens=220,
+        llm_cache_capacity=512,
+    )
+    agent = InfiniSSTAgent(
+        params, cfg, stream, builder,
+        InfiniSSTOptions(latency_multiplier=1, beam=2,
+                         max_llm_cache_size=220,
+                         no_repeat_ngram_lookback=32),
+        param_dtype=jnp.float32,
+    )
+    rng = np.random.RandomState(11)
+    texts = []
+    for i in range(3):
+        agent.push(
+            rng.randn(agent.chunk_samples).astype(np.float32) * 0.1,
+            finished=(i == 2),
+        )
+        texts.append("".join(agent.states.target))
+    ids = list(agent.states.target_ids)
+    assert len(ids) > 0
+    # emissions decode through the REAL tokenizer and contain no special
+    # or out-of-base-vocab markers (suppression + skip_special_tokens)
+    assert all(i < toks.sp_patch for i in ids)
+    full = tok.decode(ids, skip_special_tokens=True)
+    assert isinstance(full, str) and len(full) > 0
+    # the system prompt (with the real template's date preamble) is
+    # pinned in the cache exactly once
+    sys_len = len(builder.system_ids(builder.system_text(1)))
+    assert agent.system_prompt_size == sys_len
