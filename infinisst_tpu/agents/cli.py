@@ -90,6 +90,13 @@ def add_args(p: argparse.ArgumentParser):
     # winner is exactly beam_search's; requires --speculative and
     # --beam > 1 (the reference's quality configuration, accelerated)
     p.add_argument("--spec-beam", action="store_true")
+    # acceptance guard (ON by default): a stream whose tokens-per-verify-
+    # round EMA sits below the weight-stream break-even for
+    # --spec-guard-patience chunks drops to plain-cost decode with
+    # identical output (agents/infinisst.py); --spec-no-guard opts out
+    # (raw overhead envelope)
+    p.add_argument("--spec-no-guard", action="store_true")
+    p.add_argument("--spec-guard-patience", type=int, default=3)
     p.add_argument("--do-sample", action="store_true")
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top-k", type=int, default=0)
@@ -288,6 +295,8 @@ def build_agent(args):
         spec_lowrank_rank=args.spec_lowrank_rank,
         spec_lowrank_head=_load_lowrank_head(args, np),
         spec_beam=args.spec_beam,
+        spec_guard=not args.spec_no_guard,
+        spec_guard_patience=args.spec_guard_patience,
         do_sample=args.do_sample,
         temperature=args.temperature,
         top_k=args.top_k,

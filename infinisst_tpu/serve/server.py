@@ -183,6 +183,9 @@ def main():  # pragma: no cover - network entrypoint
     # lm_head; path loads prebuilt {'a','b'} factors (exact either way)
     p.add_argument("--spec-lowrank-rank", type=int, default=0)
     p.add_argument("--spec-lowrank-head", type=str, default=None)
+    # pool-wide acceptance guard (ON by default; see agents/cli.py)
+    p.add_argument("--spec-no-guard", action="store_true")
+    p.add_argument("--spec-guard-patience", type=int, default=3)
     # pooled speculative SAMPLING (requires --speculative): per-row
     # ancestral-sampling semantics at speculative speed
     p.add_argument("--do-sample", action="store_true")
@@ -292,6 +295,8 @@ def main():  # pragma: no cover - network entrypoint
         spec_adapter=_adapter(args),
         spec_lowrank_rank=args.spec_lowrank_rank,
         spec_lowrank_head=_lowrank(args),
+        spec_guard=not args.spec_no_guard,
+        spec_guard_patience=args.spec_guard_patience,
         do_sample=args.do_sample,
         temperature=args.temperature,
         top_k=args.top_k,
