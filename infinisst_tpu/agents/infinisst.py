@@ -388,8 +388,17 @@ class InfiniSSTAgent(SpeechToTextAgent):
         chunk_frames = 48 * n_units
         chunk_samples = n_units * self.unit_samples
         full_m_samples = self.chunk_samples
+        # the guard's greedy fallback must stay GREEDY-exact: plain beam
+        # search at beam=1 selects the argmax chain (speculation ignores
+        # opts.beam, which the bench sets to 4 for the plain headline)
+        plain_beam = (
+            1
+            if (self._spec_fallback and self.opts.speculative
+                and not self.opts.spec_beam and not self.opts.do_sample)
+            else self.opts.beam
+        )
         spec = beam_mod.BeamSpec(
-            beam=self.opts.beam,
+            beam=plain_beam,
             max_new_tokens=self.max_new,
             eos_id=self.cfg.tokens.eos,
             pad_id=self.cfg.tokens.pad,
@@ -406,18 +415,19 @@ class InfiniSSTAgent(SpeechToTextAgent):
         do_sample = self.opts.do_sample
         speculative = self.opts.speculative
         spec_beam = speculative and self.opts.spec_beam and not fallback
-        # guard fallback: greedy/sampling speculation drops to a PERFECT
-        # self-draft (d = L, no draft head/adapter) — the draft steps ARE
-        # plain decode steps and the verify stream amortises over all of
-        # them, so per-token cost is exactly one full weight stream (plain
-        # decode cost) while emissions stay identical (the d = L perfect-
-        # draft exactness case, tests/test_speculative.py).  spec_beam
-        # drops to plain beam_search.
-        spec_d = (
-            cfg.llama.num_layers if fallback
-            else self.opts.spec_draft_layers
-        )
-        if fallback and self.opts.spec_beam:
+        # guard fallback: ALL modes drop to the TRUE PLAIN graph.
+        # greedy: plain decode is token-identical (speculation is exact).
+        # spec_beam: plain beam_search (winner-identical).  sampling: the
+        # plain sampler — exact in distribution like the spec sampler,
+        # but a different realised sample path (documented swap; with
+        # top_k=1 still token-identical).  A d = L self-draft fallback
+        # was measured instead first and REJECTED: batched-verify float
+        # accumulation forks near-ties on the argmax, so its "perfect"
+        # acceptance drops below 1 and hardware cost landed ~1.5x plain
+        # (0.2465 vs 0.1634 RTF, docs/hw_rows_r4.jsonl ra0.75 row) —
+        # the guard must recover plain cost, not approximately-plain.
+        spec_d = self.opts.spec_draft_layers
+        if fallback:
             speculative = False
         if spec_beam:
             if do_sample:
@@ -588,13 +598,8 @@ class InfiniSSTAgent(SpeechToTextAgent):
                     sp_spec,
                     encoder_ngram_size=enc_ng,
                     suppress_mask=suppress,
-                    draft_head=(
-                        None if fallback
-                        else params.get("spec_draft_head")
-                    ),
-                    exit_adapter=(
-                        None if fallback else params.get("spec_adapter")
-                    ),
+                    draft_head=params.get("spec_draft_head"),
+                    exit_adapter=params.get("spec_adapter"),
                     **extra_rng,
                 )
             else:
@@ -824,23 +829,20 @@ class InfiniSSTAgent(SpeechToTextAgent):
             )
         n_emit = int(packed[2])
         out_ids = packed[3 : 3 + n_emit].tolist()
-        # the guard's spec_beam fallback runs the PLAIN beam graph (no spec
-        # fields in packed); greedy/sampling fallback runs the d=L
-        # self-draft spec graph (spec fields present, but they describe the
-        # fallback machinery, not the real draft — excluded from stats)
-        spec_graph = opts.speculative and not (
-            self._spec_fallback and opts.spec_beam
-        )
+        # the guard's fallback runs the TRUE PLAIN graph for every mode
+        # (no spec fields in packed); this flag reflects the graph that
+        # produced THIS chunk — _spec_fallback cannot have changed since
+        # the step was selected, the trip happens below
+        spec_graph = opts.speculative and not self._spec_fallback
         if spec_graph:
             # greedy/sampling speculation committed the tokens' K/V
             # in-cache during verification; spec_beam defers like plain
             # beam (the winner's tokens replay into the next prefill)
             self.pend_n_host = n_emit if opts.spec_beam else 0
             r, dr, ac = (int(x) for x in packed[-3:])
-            if not self._spec_fallback:
-                self.spec_rounds += r
-                self.spec_drafted += dr
-                self.spec_accepted += ac
+            self.spec_rounds += r
+            self.spec_drafted += dr
+            self.spec_accepted += ac
             self.spec_emitted += n_emit  # what the user actually saw
             if (
                 self._spec_breakeven is not None

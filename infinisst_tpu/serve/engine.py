@@ -364,17 +364,21 @@ class ServingEngine:
     # -- batched step ---------------------------------------------------------
     def _build_step(self, fallback: bool = False):
         """``fallback=True`` builds the acceptance guard's plain-cost
-        variant: the speculative pool with a PERFECT d=L self-draft (no
-        draft head/adapter) — the draft steps ARE plain decode steps and
-        the verify stream amortises over all of them, so per-token weight
-        cost equals plain decode while emissions stay identical (the d=L
-        exactness case; works for the greedy AND the sampling pool)."""
+        variant.  GREEDY pools drop to the TRUE plain batched-greedy pool
+        (token-identical — speculation is exact; a d=L self-draft was
+        measured first and rejected: batched-verify float accumulation
+        forks near-tie argmaxes, leaving its cost ~1.5x plain on the
+        agent, docs/hw_rows_r4.jsonl ra0.75 row).  SAMPLING pools have no
+        plain batched variant, so they keep the d=L self-draft (draft
+        steps ARE plain decode steps; tie forks only cost extra verify
+        rounds, bounded well below the raw bad-draft overhead)."""
         cfg = self.cfg
         stream = self.stream
         chunk_frames = self.chunk_frames
         max_new = self.max_new
         eos = cfg.tokens.eos
         beam_n = self.beam
+        greedy_fallback = fallback and not self.do_sample
         spec_d = (
             cfg.llama.num_layers if fallback else self.spec_draft_layers
         )
@@ -465,7 +469,7 @@ class ServingEngine:
                 )
                 return enc2, dec3, windows, toks, n_tok, stats
 
-            if self.speculative:
+            if self.speculative and not greedy_fallback:
                 # pooled layer-skip speculation: one draft stream + one
                 # verify stream per round SHARED across all slots and all
                 # k+1 verified positions; emitted tokens are exactly the
@@ -721,12 +725,13 @@ class ServingEngine:
             jnp.asarray(row_frames), jnp.asarray(row_patches),
             jnp.asarray(row_max_new), *extra,
         )
-        if self.speculative:
+        greedy_fb = self._spec_fallback and not self.do_sample
+        if self.speculative and not greedy_fb:
             enc2, dec2, self.windows, toks, n_tok, stats = out
             toks, n_tok, stats = jax.device_get((toks, n_tok, stats))
             if self._spec_fallback:
-                # the d=L fallback's machinery stats describe the perfect
-                # self-draft, not the real draft — only emitted counts
+                # the sampling d=L fallback's machinery stats describe
+                # the self-draft, not the real draft — only emitted counts
                 self.spec_stats["emitted"] += int(stats[3])
             else:
                 for key_, v in zip(
@@ -757,7 +762,7 @@ class ServingEngine:
                             f"{self._spec_tpr_ema:.2f} < break-even "
                             f"{self._spec_breakeven:.2f} for "
                             f"{self._spec_below} ticks: swapping the pool "
-                            "to the plain-cost d=L step",
+                            "to the plain-cost step",
                             file=_sys.stderr, flush=True,
                         )
         else:

@@ -252,6 +252,59 @@ class Trainer:
         )
 
     # -- loops --------------------------------------------------------------
+    def _prefetch(self, sampler, ds, collator, depth: int = 2):
+        """Depth-bounded background batch preparation — host TSV/audio
+        reads + collate + bucket-pad + device upload run in a worker
+        thread while the device executes the current step, the JAX
+        analogue of the reference DataLoader's worker prefetch (ref
+        train/main.py num_workers).  jnp.asarray dispatches the uploads
+        asynchronously from the worker; the bounded queue caps host+HBM
+        staging at ``depth`` batches.  Exceptions propagate at the
+        consuming step."""
+        import queue as _queue
+        import threading
+
+        q: _queue.Queue = _queue.Queue(maxsize=depth)
+        DONE, ERR = object(), object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded-wait put so an abandoned consumer (max_steps /
+            # debug break) releases the worker instead of leaking it
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
+
+        def produce():
+            try:
+                for idx_batch in sampler:
+                    samples = [ds[i] for i in idx_batch]
+                    raw = collator(samples)
+                    m = raw.get("multiplier", 1)
+                    if not _put((m, self._to_batch(raw, m))):
+                        return
+                _put(DONE)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                _put((ERR, e))
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is DONE:
+                    return
+                if isinstance(item, tuple) and item[0] is ERR:
+                    raise item[1]
+                yield item
+        finally:
+            stop.set()
+            t.join(timeout=5.0)
+
     def fit(self):
         args = self.args
         ds, sampler, collator = self._make_loader(
@@ -278,11 +331,7 @@ class Trainer:
         with self.mesh:
             for epoch in range(args.max_epochs):
                 sampler.set_epoch(epoch)
-                for idx_batch in sampler:
-                    samples = [ds[i] for i in idx_batch]
-                    raw = collator(samples)
-                    m = raw.get("multiplier", 1)
-                    batch = self._to_batch(raw, m)
+                for m, batch in self._prefetch(sampler, ds, collator):
                     self.state, metrics = self._get_step_fn(m)(
                         self.state, batch
                     )

@@ -57,6 +57,70 @@ def _params(cfg):
     }
 
 
+def test_prefetch_matches_sequential(tmp_path):
+    """The background prefetch generator must yield exactly the batches
+    the sequential loop builds (same order, same contents), and releasing
+    it early must stop the worker thread instead of leaking it."""
+    import threading
+
+    import jax
+    import numpy as np
+
+    _make_data(tmp_path)
+    cfg = dryrun_config()
+    builder = PromptBuilder(
+        StubTokenizer(cfg.llama.vocab_size, lo=10, hi=900), cfg.tokens
+    )
+    args = TrainerArgs(
+        data_path=str(tmp_path),
+        data_split_train="tr",
+        data_split_eval="dv",
+        trajectory=4,
+        trajectory_max_multiplier=2,
+        stage=2,
+        train_bsz=300,
+        eval_bsz=300,
+        bsz_sent=2,
+        learning_rate=1e-3,
+        warmup_steps=1,
+        max_steps=3,
+        grad_acc_steps=1,
+        save_dir=str(tmp_path / "run"),
+        max_cache_size=96,
+    )
+    t = Trainer(args, cfg, builder, _params(cfg))
+
+    # fresh loader per pass: the trajectory-4 collator's aug RNG advances
+    # per call, so reuse across passes would desynchronise multipliers
+    ds, sampler, collator = t._make_loader("tr", args.train_bsz, shuffle=True)
+    sampler.set_epoch(0)
+    seq = []
+    for idx_batch in sampler:
+        raw = collator([ds[i] for i in idx_batch])
+        m = raw.get("multiplier", 1)
+        seq.append((m, t._to_batch(raw, m)))
+    assert len(seq) > 1
+
+    ds, sampler, collator = t._make_loader("tr", args.train_bsz, shuffle=True)
+    sampler.set_epoch(0)  # same epoch + seed -> same order and augs
+    pre = list(t._prefetch(sampler, ds, collator))
+    assert len(pre) == len(seq)
+    for (m_a, b_a), (m_b, b_b) in zip(pre, seq):
+        assert m_a == m_b
+        for x, y in zip(jax.tree.leaves(b_a), jax.tree.leaves(b_b)):
+            np.testing.assert_array_equal(
+                np.asarray(jax.device_get(x)), np.asarray(jax.device_get(y))
+            )
+
+    # early abandonment (the fit() max_steps break) stops the worker
+    n0 = threading.active_count()
+    sampler.set_epoch(0)
+    gen = t._prefetch(sampler, ds, collator)
+    next(gen)
+    gen.close()  # runs the generator's finally: stop + join
+    assert threading.active_count() <= n0 + 1
+
+
 @pytest.mark.slow
 def test_fit_and_resume(tmp_path):
     _make_data(tmp_path)
