@@ -32,4 +32,7 @@ python -m infinisst_tpu.train.main \
     --grad_acc_steps 4 \
     --clip_norm 1.0 \
     --save_dir "${save_dir}" \
-    --n_data 8 --n_model 1 --zero True
+    --n_data 2 --n_model 4 --zero True
+# dp2 x tp4: the only v5e-8 mesh where the 8B stage-2 step fits in
+# 16 GiB/chip (14.2 GiB; dp8 peaks at 20.0, dp4xtp2 at 16.5 — AOT
+# memory analysis in docs/memplan_8b.json, tools_memplan.py)
