@@ -468,6 +468,9 @@ def main():
             "rounds": agent.spec_rounds,
             "emitted": agent.spec_emitted,
             "guard_fallback": bool(agent.spec_fallback_active),
+            # True when the trip used the background-AOT-warmed
+            # executable (no synchronous compile stall in the stream)
+            "fallback_warmed": bool(agent._fallback_compiled),
             "breakeven_tokens_per_round": (
                 round(agent._spec_breakeven, 3)
                 if agent._spec_breakeven is not None else None
@@ -652,6 +655,9 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
                 st["accepted"] / max(st["drafted"], 1), 4
             )
             result["guard_fallback"] = bool(eng.spec_fallback_active)
+            result["fallback_warmed"] = isinstance(
+                eng._step_fn_fallback, jax.stages.Compiled
+            )
         result.update(_tail_fields(slot_lat))
         print(json.dumps(result))
         print(
@@ -705,6 +711,9 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
             st["accepted"] / max(st["drafted"], 1), 4
         )
         result["guard_fallback"] = bool(eng.spec_fallback_active)
+        result["fallback_warmed"] = isinstance(
+            eng._step_fn_fallback, jax.stages.Compiled
+        )
     result.update(_tail_fields(slot_lat))
     print(json.dumps(result))
     print(

@@ -97,6 +97,9 @@ def add_args(p: argparse.ArgumentParser):
     # (raw overhead envelope)
     p.add_argument("--spec-no-guard", action="store_true")
     p.add_argument("--spec-guard-patience", type=int, default=3)
+    # opt out of the guard's background AOT warm of the fallback
+    # graph (on by default: a trip then swaps without a compile stall)
+    p.add_argument("--spec-no-warm-fallback", action="store_true")
     p.add_argument("--do-sample", action="store_true")
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top-k", type=int, default=0)
@@ -297,6 +300,7 @@ def build_agent(args):
         spec_beam=args.spec_beam,
         spec_guard=not args.spec_no_guard,
         spec_guard_patience=args.spec_guard_patience,
+        spec_warm_fallback=not args.spec_no_warm_fallback,
         do_sample=args.do_sample,
         temperature=args.temperature,
         top_k=args.top_k,

@@ -140,6 +140,13 @@ class InfiniSSTOptions:
     spec_guard_decay: float = 0.7  # per-chunk EMA decay
     spec_guard_patience: int = 3  # consecutive below-threshold chunks
     spec_guard_margin: float = 1.0  # threshold multiplier
+    # AOT-compile the guard's plain fallback graph in a background
+    # thread at the FIRST below-break-even chunk, so a later trip swaps
+    # graphs without stalling the stream on a synchronous compile (a
+    # fresh 8B graph takes minutes on a cold compile cache; the patience
+    # window is the headroom).  Costs nothing on the healthy path — the
+    # warm only starts once the EMA first dips below break-even.
+    spec_warm_fallback: bool = True
 
 
 class InfiniSSTAgent(SpeechToTextAgent):
@@ -339,6 +346,9 @@ class InfiniSSTAgent(SpeechToTextAgent):
         self._spec_tpr_ema = None
         self._spec_below = 0
         self._spec_fallback = False
+        # background AOT warm of the fallback graph (spec_warm_fallback)
+        self._fallback_warm = None  # the warm thread, once started
+        self._fallback_compiled: Dict = {}  # key -> (compiled, prompt)
 
     def reset(self):
         super().reset()
@@ -371,15 +381,30 @@ class InfiniSSTAgent(SpeechToTextAgent):
         return AgentStates()
 
     # -- jitted chunk step ---------------------------------------------------
-    def _generate_chunk_fn(self, n_units: int, first: bool):
+    def _generate_chunk_fn(self, n_units: int, first: bool,
+                           fallback: Optional[bool] = None):
         """Build + cache the fused jitted step for a chunk of ``n_units``
-        960 ms units (n_units == m except for the stream tail)."""
+        960 ms units (n_units == m except for the stream tail).
+        ``fallback`` overrides the guard's sticky flag (the background
+        warm builds the fallback variant BEFORE the trip)."""
         m = self.opts.latency_multiplier
         # the acceptance guard's fallback selects the PLAIN decode variant
         # of the step (same emissions — speculation is exact — without the
         # draft's cost); both variants may coexist in the compile set
-        fallback = self._spec_fallback
+        if fallback is None:
+            fallback = self._spec_fallback
         key = (m, n_units, first, fallback)
+        if fallback:
+            # a tripped stream prefers the background-warmed executable:
+            # the swap then costs nothing.  If the warm is still
+            # compiling, wait for it (the compile is already underway —
+            # never slower than starting a synchronous one here).
+            if (self._fallback_warm is not None
+                    and self._fallback_warm.is_alive()
+                    and self._spec_fallback):
+                self._fallback_warm.join()
+            if key in self._fallback_compiled:
+                return self._fallback_compiled[key]
         if key in self._gen_fns:
             return self._gen_fns[key]
         prompt = self.builder.chunk_prompt(m, first, n_patches=12 * n_units)
@@ -393,7 +418,7 @@ class InfiniSSTAgent(SpeechToTextAgent):
         # opts.beam, which the bench sets to 4 for the plain headline)
         plain_beam = (
             1
-            if (self._spec_fallback and self.opts.speculative
+            if (fallback and self.opts.speculative
                 and not self.opts.spec_beam and not self.opts.do_sample)
             else self.opts.beam
         )
@@ -677,6 +702,63 @@ class InfiniSSTAgent(SpeechToTextAgent):
         self._gen_fns[key] = (gen, prompt)
         return self._gen_fns[key]
 
+    def _start_fallback_warm(self, n_units: int):
+        """AOT-compile the guard's plain fallback step for the steady
+        chunk shape in a daemon thread.  Started at the FIRST
+        below-break-even chunk, so by the time the guard trips
+        (``spec_guard_patience`` chunks later) the swap costs an
+        executable lookup, not a synchronous compile — a fresh 8B graph
+        takes minutes to build on a cold compile cache.  Lowering uses
+        ShapeDtypeStructs only (state buffers are donated by the live
+        step and must not be touched); best-effort — on any failure the
+        trip compiles synchronously as before."""
+        import threading
+
+        m = self.opts.latency_multiplier
+        key = (m, n_units, False, True)
+        if (self._fallback_warm is not None or key in self._fallback_compiled
+                or key in self._gen_fns):
+            return
+        aval = lambda x: jax.ShapeDtypeStruct(  # noqa: E731
+            jnp.shape(x), jnp.result_type(x)
+        )
+        lead = jax.tree.map(aval, (
+            self.params, self.enc_state, self.dec_state, self.window,
+            self.hist, self.hist_len, self.pend_tokens, self.pend_n,
+        ))
+        tail = (
+            jax.ShapeDtypeStruct((n_units * self.unit_samples,), jnp.int16),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct((), jnp.int32),
+        )
+        kw = {}
+        if self.opts.do_sample:
+            if self._sample_base_key is None:
+                self._sample_base_key = jax.random.PRNGKey(
+                    self.opts.sample_seed
+                )
+            kw["rng"] = aval(self._sample_base_key)
+
+        def warm():
+            try:
+                fn, prompt = self._generate_chunk_fn(
+                    n_units, False, fallback=True
+                )
+                compiled = fn.lower(*lead, *tail, **kw).compile()
+                self._fallback_compiled[key] = (compiled, prompt)
+            except Exception as e:  # pragma: no cover — warm is best-effort
+                print(
+                    f"[spec-guard] background fallback warm failed "
+                    f"({e!r}); a trip will compile synchronously",
+                    file=sys.stderr, flush=True,
+                )
+
+        t = threading.Thread(
+            target=warm, daemon=True, name="spec-fallback-warm"
+        )
+        t.start()
+        self._fallback_warm = t
+
     # -- policy ------------------------------------------------------------
     def policy(self, states: Optional[AgentStates] = None):
         if states is None:
@@ -861,6 +943,10 @@ class InfiniSSTAgent(SpeechToTextAgent):
                     < self._spec_breakeven * opts.spec_guard_margin
                 ):
                     self._spec_below += 1
+                    if opts.spec_warm_fallback:
+                        # start compiling the plain fallback now; the
+                        # patience window is the compile headroom
+                        self._start_fallback_warm(m)
                 else:
                     self._spec_below = 0
                 if self._spec_below >= opts.spec_guard_patience:

@@ -113,13 +113,17 @@ class ServingEngine:
         # round across ticks and, below the weight-stream break-even
         # (decode/speculative.breakeven_tokens_per_round) for
         # spec_guard_patience consecutive ticks, swaps the pool to the
-        # d=L perfect-self-draft step — identical emissions (speculation
-        # is exact at any draft), plain-decode weight cost.  Auto-disabled
-        # under spec_accept_all.
+        # plain-cost step (greedy: the TRUE plain pool, token-identical;
+        # sampling: the d=L self-draft pool, exact in distribution).
+        # Auto-disabled under spec_accept_all.
         spec_guard: bool = True,
         spec_guard_decay: float = 0.7,
         spec_guard_patience: int = 3,
         spec_guard_margin: float = 1.0,
+        # AOT-compile the fallback step in a background thread at the
+        # first below-break-even tick, so a trip swaps graphs without
+        # stalling the pool on a synchronous compile
+        spec_warm_fallback: bool = True,
     ):
         if do_sample and not speculative:
             raise ValueError(
@@ -231,6 +235,9 @@ class ServingEngine:
         self._spec_below = 0
         self._spec_fallback = False
         self._step_fn_fallback = None  # built lazily on first trip
+        self.spec_warm_fallback = spec_warm_fallback
+        self._fallback_warm = None  # background AOT warm thread
+        self._step_avals = None  # tick arg ShapeDtypeStructs (for lower)
         if speculative and spec_guard and not spec_accept_all:
             from infinisst_tpu.decode.speculative import (
                 breakeven_tokens_per_round,
@@ -635,6 +642,43 @@ class ServingEngine:
     def _evict_impl(self, dec, keep_len, sys_len):
         return llama_mod.evict_cache(dec, keep_len, sys_len)
 
+    def _start_fallback_warm(self):
+        """AOT-compile the guard's plain-cost step in a daemon thread,
+        started at the FIRST below-break-even tick — by the time the
+        guard trips (``spec_guard_patience`` ticks later) the swap costs
+        an executable lookup, not a synchronous compile that would stall
+        every stream in the pool (a fresh 8B pool graph takes minutes on
+        a cold compile cache).  Lowers from the captured tick
+        ShapeDtypeStructs only (live buffers are donated by the running
+        step and must not be touched); best-effort — on failure the trip
+        compiles synchronously as before."""
+        if (self._fallback_warm is not None
+                or self._step_fn_fallback is not None
+                or self._step_avals is None):
+            return
+        import threading
+
+        avals = self._step_avals
+
+        def warm():
+            try:
+                fn = self._build_step(fallback=True)
+                self._step_fn_fallback = fn.lower(*avals).compile()
+            except Exception as e:  # pragma: no cover — warm is best-effort
+                import sys as _sys
+
+                print(
+                    f"[spec-guard] background pool-fallback warm failed "
+                    f"({e!r}); a trip will compile synchronously",
+                    file=_sys.stderr, flush=True,
+                )
+
+        t = threading.Thread(
+            target=warm, daemon=True, name="pool-fallback-warm"
+        )
+        t.start()
+        self._fallback_warm = t
+
     def tick(self) -> Dict[int, str]:
         """Process one chunk for every slot with enough pending audio.
         Returns {slot: text} for slots that produced output."""
@@ -713,11 +757,17 @@ class ServingEngine:
             ),)
         self._tick_counter += 1
         if self._spec_fallback and self._step_fn_fallback is None:
-            self._step_fn_fallback = self._build_step(fallback=True)
+            # prefer the background-warmed executable; if its compile is
+            # still in flight, wait for it (never slower than starting a
+            # synchronous compile here)
+            if self._fallback_warm is not None:
+                self._fallback_warm.join()
+            if self._step_fn_fallback is None:
+                self._step_fn_fallback = self._build_step(fallback=True)
         step_fn = (
             self._step_fn_fallback if self._spec_fallback else self._step_fn
         )
-        out = step_fn(
+        call_args = (
             self.params, self.enc_state, self.dec_state, self.windows,
             jnp.asarray(chunks), jnp.asarray(ids), jnp.asarray(valid),
             jnp.asarray(patch_starts), jnp.asarray(row_active),
@@ -725,6 +775,17 @@ class ServingEngine:
             jnp.asarray(row_frames), jnp.asarray(row_patches),
             jnp.asarray(row_max_new), *extra,
         )
+        if self._spec_breakeven is not None and self._step_avals is None:
+            # tick shapes are constant: capture them once so the guard's
+            # background warm can AOT-lower without touching live
+            # (donated) buffers
+            self._step_avals = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(
+                    jnp.shape(x), jnp.result_type(x)
+                ),
+                call_args,
+            )
+        out = step_fn(*call_args)
         greedy_fb = self._spec_fallback and not self.do_sample
         if self.speculative and not greedy_fb:
             enc2, dec2, self.windows, toks, n_tok, stats = out
@@ -751,6 +812,10 @@ class ServingEngine:
                         < self._spec_breakeven * self.spec_guard_margin
                     ):
                         self._spec_below += 1
+                        if self.spec_warm_fallback:
+                            # start compiling the plain-cost step now; the
+                            # patience window is the compile headroom
+                            self._start_fallback_warm()
                     else:
                         self._spec_below = 0
                     if self._spec_below >= self.spec_guard_patience:

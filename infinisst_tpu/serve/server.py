@@ -186,6 +186,9 @@ def main():  # pragma: no cover - network entrypoint
     # pool-wide acceptance guard (ON by default; see agents/cli.py)
     p.add_argument("--spec-no-guard", action="store_true")
     p.add_argument("--spec-guard-patience", type=int, default=3)
+    # opt out of the guard's background AOT warm of the fallback
+    # graph (on by default: a trip then swaps without a compile stall)
+    p.add_argument("--spec-no-warm-fallback", action="store_true")
     # pooled speculative SAMPLING (requires --speculative): per-row
     # ancestral-sampling semantics at speculative speed
     p.add_argument("--do-sample", action="store_true")
@@ -297,6 +300,7 @@ def main():  # pragma: no cover - network entrypoint
         spec_lowrank_head=_lowrank(args),
         spec_guard=not args.spec_no_guard,
         spec_guard_patience=args.spec_guard_patience,
+        spec_warm_fallback=not args.spec_no_warm_fallback,
         do_sample=args.do_sample,
         temperature=args.temperature,
         top_k=args.top_k,

@@ -168,6 +168,30 @@ def test_guard_sampling_path_trips_and_stays_in_distribution():
 
 
 @pytest.mark.slow
+def test_guard_background_warm_agent():
+    """The first below-break-even chunk starts a background AOT warm of
+    the plain fallback graph; the trip then swaps to the precompiled
+    executable (no synchronous compile stall — on a cold cache a fresh
+    8B graph takes minutes), with emissions identical to a warm-disabled
+    guarded twin that compiled synchronously."""
+    warm = make_agent(speculative=True, spec_draft_layers=1, spec_k=3,
+                      spec_guard_patience=2)
+    out_warm = run_stream(warm, n_chunks=8)
+    assert warm.spec_fallback_active
+    assert warm._fallback_warm is not None
+    warm._fallback_warm.join()
+    m = warm.opts.latency_multiplier
+    key = (m, m, False, True)
+    assert key in warm._fallback_compiled
+    assert isinstance(warm._fallback_compiled[key][0], jax.stages.Compiled)
+    cold = make_agent(speculative=True, spec_draft_layers=1, spec_k=3,
+                      spec_guard_patience=2, spec_warm_fallback=False)
+    out_cold = run_stream(cold, n_chunks=8)
+    assert cold.spec_fallback_active and cold._fallback_warm is None
+    assert out_warm == out_cold and len(out_warm) > 0
+
+
+@pytest.mark.slow
 def test_guard_spec_beam_falls_back_to_plain_beam():
     """spec_beam's guard fallback is plain beam_search — the winner is
     identical (spec-beam is beam-exact) and the pend/commit bookkeeping
@@ -224,7 +248,17 @@ def test_engine_guard_trips_pool_and_stays_exact():
 
     eng_g, outs_g = run(dict(spec_guard_patience=2))
     assert eng_g.spec_fallback_active
+    # the background warm started at the first below-break-even tick and
+    # the trip used its AOT-compiled executable (no synchronous build)
+    assert eng_g._fallback_warm is not None
+    assert isinstance(eng_g._step_fn_fallback, jax.stages.Compiled)
     eng_r, outs_r = run(dict(spec_guard=False))
     assert not eng_r.spec_fallback_active
     assert outs_g == outs_r
     assert sum(len(o) for o in outs_g) > 0
+    # warm disabled: the trip builds synchronously, same emissions
+    eng_c, outs_c = run(dict(spec_guard_patience=2,
+                             spec_warm_fallback=False))
+    assert eng_c.spec_fallback_active and eng_c._fallback_warm is None
+    assert not isinstance(eng_c._step_fn_fallback, jax.stages.Compiled)
+    assert outs_c == outs_g
