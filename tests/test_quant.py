@@ -170,7 +170,9 @@ def test_grouped_w8a8_matches_fp_closely():
 
 def test_init_quantized_llama_group_shapes():
     """Grouped random-init layout matches the quantize_llama_params
-    layout (scale ndim selects the mm dispatch) and runs decode."""
+    layout (scale ndim selects the mm dispatch) and runs decode.
+    The hybrid belt default groups projections but keeps the lm_head
+    per-channel; an explicit head_group_size groups the head too."""
     from infinisst_tpu.models.quant import init_quantized_llama
 
     cfg = LlamaConfig(
@@ -182,7 +184,12 @@ def test_init_quantized_llama_group_shapes():
         group_size=128,
     )
     assert p["layers"]["wq"]["scale_a8"].shape == (2, 2, 256)
-    assert p["lm_head"]["scale_a8"].shape == (2, 512)
+    assert p["lm_head"]["scale_a8"].shape == (512,)  # per-channel head
+    p_gh = init_quantized_llama(
+        jax.random.PRNGKey(0), cfg, act_int8=True, lm_head_int8=True,
+        group_size=128, head_group_size=128,
+    )
+    assert p_gh["lm_head"]["scale_a8"].shape == (2, 512)
     params = {"embed": p["embed"], "layers": p["layers"],
               "final_ln": p["final_ln"], "lm_head": p["lm_head"]}
     toks = jax.random.randint(jax.random.PRNGKey(1), (1, 5), 0, 256)
