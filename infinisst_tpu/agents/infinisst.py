@@ -712,7 +712,7 @@ class InfiniSSTAgent(SpeechToTextAgent):
         ShapeDtypeStructs only (state buffers are donated by the live
         step and must not be touched); best-effort — on any failure the
         trip compiles synchronously as before."""
-        import threading
+        from infinisst_tpu.core import bgcompile
 
         m = self.opts.latency_multiplier
         key = (m, n_units, False, True)
@@ -753,11 +753,7 @@ class InfiniSSTAgent(SpeechToTextAgent):
                     file=sys.stderr, flush=True,
                 )
 
-        t = threading.Thread(
-            target=warm, daemon=True, name="spec-fallback-warm"
-        )
-        t.start()
-        self._fallback_warm = t
+        self._fallback_warm = bgcompile.spawn(warm, "spec-fallback-warm")
 
     # -- policy ------------------------------------------------------------
     def policy(self, states: Optional[AgentStates] = None):

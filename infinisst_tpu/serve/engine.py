@@ -656,7 +656,7 @@ class ServingEngine:
                 or self._step_fn_fallback is not None
                 or self._step_avals is None):
             return
-        import threading
+        from infinisst_tpu.core import bgcompile
 
         avals = self._step_avals
 
@@ -673,11 +673,7 @@ class ServingEngine:
                     file=_sys.stderr, flush=True,
                 )
 
-        t = threading.Thread(
-            target=warm, daemon=True, name="pool-fallback-warm"
-        )
-        t.start()
-        self._fallback_warm = t
+        self._fallback_warm = bgcompile.spawn(warm, "pool-fallback-warm")
 
     def tick(self) -> Dict[int, str]:
         """Process one chunk for every slot with enough pending audio.

@@ -262,3 +262,29 @@ def test_engine_guard_trips_pool_and_stays_exact():
     assert eng_c.spec_fallback_active and eng_c._fallback_warm is None
     assert not isinstance(eng_c._step_fn_fallback, jax.stages.Compiled)
     assert outs_c == outs_g
+
+
+def test_bgcompile_spawn_joins_at_exit_hook():
+    """Warm threads go through core.bgcompile.spawn so the atexit hook can
+    join them before interpreter teardown — a daemon thread force-unwound
+    mid-XLA-compile aborts the process (rc 134; seen on the multichip
+    dryrun, which exits right after its speculative pool ticks).  The
+    dryrun itself is the end-to-end gate; here: spawn registers the
+    thread, _join_live drains it, and the registry does not grow."""
+    import time
+
+    from infinisst_tpu.core import bgcompile
+
+    done = []
+    t = bgcompile.spawn(lambda: (time.sleep(0.05), done.append(1)),
+                        "test-warm")
+    assert t.daemon and any(x is t for x in bgcompile._threads)
+    bgcompile._join_live()
+    assert done == [1] and not t.is_alive()
+    assert bgcompile._threads == []
+    # dead threads are pruned on the next spawn
+    t2 = bgcompile.spawn(lambda: None, "test-warm-2")
+    t2.join()
+    bgcompile.spawn(lambda: None, "test-warm-3").join()
+    assert all(x.name != "test-warm-2" or x.is_alive()
+               for x in bgcompile._threads)
