@@ -165,11 +165,13 @@ class Trainer:
         with self.mesh:
             params = pmesh.shard_params(params, self.mesh, specs)
 
-        freeze = (
-            tstep.FreezeConfig.stage1()
-            if args.stage == 1
-            else tstep.FreezeConfig.stage2()
-        )
+        # stage 0 = full fine-tune (nothing frozen): for from-scratch
+        # proxies and offline-recipe studies; the reference's staged
+        # recipes assume a pretrained LLM (train/main.py:60-76)
+        freeze = {
+            0: tstep.FreezeConfig(),
+            1: tstep.FreezeConfig.stage1(),
+        }.get(args.stage, tstep.FreezeConfig.stage2())
         self.freeze = freeze
         opt_cfg = tstep.OptimConfig(
             learning_rate=args.learning_rate,

@@ -119,3 +119,29 @@ def test_make_head_shortlist_ranking():
     enc = {"a b": [1, 2], "b c": [2, 99]}
     got = count_tokens(lines, lambda s: enc[s], vocab_size=4)
     assert got.tolist() == [0, 1, 2, 0]
+
+
+def test_alignatt_quality_helpers():
+    """tools_alignatt_quality: the synthetic copy task is well-posed —
+    distinct word ids, id-deterministic signatures, and the monotonicity
+    stat behaves."""
+    import tools_alignatt_quality as Q
+    from infinisst_tpu.data.template import StubTokenizer
+
+    tok = StubTokenizer(1024, lo=10, hi=900)
+    words = Q.content_words(tok, n=32)
+    ids = [tok.encode(w)[0] for w in words]
+    assert len(set(ids)) == 32  # injective word -> id
+    s1, s2 = Q.signature(tok, words[0]), Q.signature(tok, words[0])
+    assert np.array_equal(s1, s2) and len(s1) == Q.UNIT
+    assert not np.array_equal(s1, Q.signature(tok, words[1]))
+
+    rng = np.random.RandomState(0)
+    ws, wav = Q.make_utt(tok, words, rng, k=3)
+    assert len(ws) == 3 and len(wav) == 3 * Q.UNIT
+    # signatures survive the utterance noise (SNR >> 1)
+    assert np.corrcoef(wav[:Q.UNIT], Q.signature(tok, ws[0]))[0, 1] > 0.99
+
+    assert Q.monotonic_frac([1, 2, 2, 5]) == 1.0
+    assert Q.monotonic_frac([5, 1, 2]) == 0.5
+    assert Q.monotonic_frac([3]) == 1.0

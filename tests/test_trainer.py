@@ -160,3 +160,43 @@ def test_fit_and_resume(tmp_path):
     t2 = Trainer(args2, cfg, builder, _params(cfg))
     final2 = t2.fit()
     assert final2 == 5
+
+
+def test_stage0_trains_everything(tmp_path):
+    """stage=0 is full fine-tune: no leaf frozen (from-scratch proxies;
+    the staged recipes assume a pretrained LLM and keep w2v2 or the LLM
+    fixed)."""
+    import jax
+
+    from infinisst_tpu.train import step as tstep
+
+    cfg = dryrun_config()
+    params = _params(cfg)
+    m0 = tstep.trainable_mask(params, tstep.FreezeConfig())
+    assert all(jax.tree.leaves(m0))
+    _make_data(tmp_path, n=2)
+    builder = PromptBuilder(StubTokenizer(cfg.llama.vocab_size, lo=10, hi=900),
+                            cfg.tokens)
+    args = TrainerArgs(
+        data_path=str(tmp_path), data_split_train="tr", data_split_eval="dv",
+        trajectory=1, stage=0, train_bsz=300, bsz_sent=2, max_steps=2,
+        warmup_steps=1, grad_acc_steps=1, log_step=1, eval_step=0,
+        save_step=0, save_dir=str(tmp_path / "run"), max_cache_size=96,
+    )
+    t = Trainer(args, cfg, builder, params)
+    assert not any(
+        [t.freeze.w2v2, t.freeze.adapter, t.freeze.llm,
+         t.freeze.llm_embed, t.freeze.llm_head]
+    )
+    before = jax.tree.map(lambda x: x.copy(), t.state.params)
+    t.fit()
+    after = t.state.params
+    # every top-level component moved (w2v2 included — the stage-2 recipe
+    # would have left it bitwise identical)
+    for comp in ("w2v2", "adapter", "llama"):
+        moved = any(
+            not np.array_equal(a, b)
+            for a, b in zip(jax.tree.leaves(before[comp]),
+                            jax.tree.leaves(after[comp]))
+        )
+        assert moved, comp
