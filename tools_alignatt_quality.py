@@ -36,8 +36,11 @@ quality delta is unmeasurable here" into "on a trained monotonic-attention
 model the delta is X".
 
 Usage:  JAX_PLATFORMS=cpu python tools_alignatt_quality.py \
-            [--steps 400] [--json docs/alignatt_quality.json]
-Runs on CPU in ~10 min (training dominates).
+            [--steps 3000] [--json docs/alignatt_quality.json] \
+            [--save-params P | --load-params P]
+Runs on CPU in ~1.5 h at the defaults (training dominates); the JSON also
+records teacher-forced held-out content accuracy (did the proxy learn)
+and warm per-chunk CPU seconds per mode (the loop-iteration saving).
 """
 
 from __future__ import annotations
@@ -46,9 +49,8 @@ import argparse
 import csv
 import json
 import os
-import re
 import shutil
-import sys
+import time
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
@@ -222,16 +224,43 @@ def evaluate(params, cfg, builder, eval_utts, tok, beam, early_stop):
     agent = AlignAttAgent(
         params, cfg, stream_cfg, builder, opts, param_dtype=jnp.float32
     )
-    hyps, monos = [], []
-    for ws, wav in eval_utts:
+    hyps, monos, times = [], [], []
+    for i, (ws, wav) in enumerate(eval_utts):
+        t0 = time.perf_counter()
         text, attended = stream(agent, wav, len(ws))
+        if i > 0:  # utterance 0 pays the compiles
+            times.append((time.perf_counter() - t0) / len(ws))
         hyps.append(text)
         monos.append(monotonic_frac(attended))
-    return hyps, float(np.mean(monos))
+    return hyps, float(np.mean(monos)), float(np.mean(times))
 
 
 def ref_text(tok, ws):
     return tok.decode(tok.encode(" ".join(ws)))
+
+
+def teacher_forced_acc(params, cfg, builder, eval_utts, workdir):
+    """Held-out content-token argmax accuracy through the TRAINING forward
+    (teacher-forced): grounds 'did the proxy learn the task' independently
+    of the agent's decode policy."""
+    from infinisst_tpu.data.collators import OfflineInstructCollator
+    from infinisst_tpu.data.dataset import SpeechToTextDataset
+    from infinisst_tpu.models import speech_llm
+
+    write_split(workdir, "ev", eval_utts)
+    ds = SpeechToTextDataset.from_tsv(workdir, "ev")
+    coll = OfflineInstructCollator(builder, cfg, block_size=10**6)
+    b = coll([ds[i] for i in range(len(ds))])
+    logits = speech_llm.offline_forward(
+        params, cfg, b["speech"], b["input_ids"], b["patch_mask"],
+        10**6, 10**6, frame_lengths=b["frame_lengths"],
+        attention_mask=b["attention_mask"],
+    )
+    lab = np.asarray(b["labels"])
+    pred = np.asarray(jnp.argmax(logits, -1))
+    content = (lab >= 10) & (lab < 900)  # StubTokenizer content id range
+    hit = (pred[:, :-1] == lab[:, 1:])[content[:, 1:]]
+    return float(hit.mean())
 
 
 def mode_rows(params, cfg, builder, eval_utts, tok, beam):
@@ -239,7 +268,7 @@ def mode_rows(params, cfg, builder, eval_utts, tok, beam):
     out = {}
     hyp_by_mode = {}
     for name, early in (("parity", False), ("early_stop", True)):
-        hyps, mono = evaluate(
+        hyps, mono, sec = evaluate(
             params, cfg, builder, eval_utts, tok, beam, early
         )
         hyp_by_mode[name] = hyps
@@ -250,6 +279,9 @@ def mode_rows(params, cfg, builder, eval_utts, tok, beam):
             "mean_tokens": round(
                 float(np.mean([len(h.split()) for h in hyps])), 2),
             "attn_monotonic_frac": round(mono, 4),
+            # CPU proxy for the loop-iteration saving (the RTF lever);
+            # warm chunks only — utterance 0 carries the compiles
+            "sec_per_chunk_cpu": round(sec, 4),
         }
     pa, es = hyp_by_mode["parity"], hyp_by_mode["early_stop"]
     out["samples"] = [
@@ -277,6 +309,10 @@ def main(argv=None):
     ap.add_argument("--beam", type=int, default=4)
     ap.add_argument("--workdir", default="/tmp/alignatt_quality")
     ap.add_argument("--json", default="")
+    ap.add_argument("--save-params", default="",
+                    help="pickle the trained params here after training")
+    ap.add_argument("--load-params", default="",
+                    help="skip training; unpickle params from this path")
     args = ap.parse_args(argv)
 
     cfg = dryrun_config()
@@ -299,21 +335,39 @@ def main(argv=None):
         make_utt(tok, words, erng, k=4) for _ in range(args.eval_utts)
     ]
 
-    print(f"training {args.steps} steps on {args.train_utts} utts ...",
-          flush=True)
-    trained, losses = train(args.workdir, cfg, builder, args.steps, args.lr)
-    print(f"loss {losses[0]:.3f} -> {losses[-1]:.3f}", flush=True)
+    import pickle
+
+    if args.load_params:
+        with open(args.load_params, "rb") as f:
+            trained = pickle.load(f)
+        losses = [float("nan"), float("nan")]
+        print(f"loaded params from {args.load_params}", flush=True)
+    else:
+        print(f"training {args.steps} steps on {args.train_utts} utts ...",
+              flush=True)
+        trained, losses = train(args.workdir, cfg, builder, args.steps,
+                                args.lr)
+        print(f"loss {losses[0]:.3f} -> {losses[-1]:.3f}", flush=True)
+        if args.save_params:
+            with open(args.save_params, "wb") as f:
+                pickle.dump(jax.tree.map(np.asarray, trained), f)
+            print(f"saved params to {args.save_params}", flush=True)
 
     result = {
         "task": "synthetic monotonic copy (32 words x 960ms signatures)",
         "model": "dryrun tiny speech-LLM (2L w2v2 frozen, 2L llama trained)",
-        "train": {
-            "steps": args.steps,
-            "loss_first": round(losses[0], 4),
-            "loss_final": round(losses[-1], 4),
-        },
+        "train": (
+            {"loaded": args.load_params} if args.load_params else {
+                "steps": args.steps,
+                "loss_first": round(losses[0], 4),
+                "loss_final": round(losses[-1], 4),
+            }
+        ),
         "beam": args.beam,
         "eval_utts": args.eval_utts,
+        "tf_content_acc_heldout": round(
+            teacher_forced_acc(trained, cfg, builder, eval_utts,
+                               args.workdir), 4),
         "trained": mode_rows(trained, cfg, builder, eval_utts, tok,
                              args.beam),
         "random_control": mode_rows(init_params(cfg), cfg, builder,
