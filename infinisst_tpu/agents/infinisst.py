@@ -331,6 +331,9 @@ class InfiniSSTAgent(SpeechToTextAgent):
         self._sample_base_key = None  # built lazily on first sampled chunk
         self.llm_cache_len = 0  # host mirror (logical: physical + pending)
         self.pend_n_host = 0
+        # count of cache trims decided so far (bench/serve observability:
+        # lets long-stream rows locate the eviction boundary)
+        self.evictions = 0
         # deferred eviction: (keep_physical, sys_len) decided after the
         # previous chunk, applied inside the NEXT chunk's compiled step
         self._pending_evict = None
@@ -989,6 +992,7 @@ class InfiniSSTAgent(SpeechToTextAgent):
             # (incl. this chunk's pending, not yet physically in the
             # cache); eviction keeps the physical tail.
             self._pending_evict = (new_len - self.pend_n_host, sys_len)
+            self.evictions += 1
             self.llm_cache_len = new_len + sys_len
 
         text = self.tokenizer.decode(out_ids, skip_special_tokens=True).strip()

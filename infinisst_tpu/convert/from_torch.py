@@ -185,6 +185,11 @@ def convert_w2v2(sd: Arrays, cfg, prefix: str = "") -> Dict[str, Any]:
     for i, lc in enumerate(cfg.conv_layers):
         base = f"{p}feature_extractor.conv_layers.{i}"
         entry = {"w": _conv(sd, f"{base}.0.weight")}
+        # vox/LV-60 checkpoints carry conv biases (conv_bias=true in
+        # fairseq wav2vec2_large_librivox.yaml); presence-detected so
+        # base-style bias-free checkpoints convert unchanged.
+        if f"{base}.0.bias" in sd:
+            entry["b"] = sd[f"{base}.0.bias"]
         if cfg.extractor_mode == "layer_norm":
             entry["ln_scale"] = sd[f"{base}.2.1.weight"]
             entry["ln_bias"] = sd[f"{base}.2.1.bias"]
@@ -242,6 +247,63 @@ def convert_w2v2(sd: Arrays, cfg, prefix: str = "") -> Dict[str, Any]:
             "bias": sd[f"{p}encoder.layer_norm.bias"],
         },
     }
+
+
+def fairseq_w2v2_to_hf(sd: Arrays, n_conv: int, n_layers: int) -> Arrays:
+    """fairseq Wav2Vec2Model keys -> HF ``transformers.Wav2Vec2Model`` keys
+    (``do_stable_layer_norm=True`` / ``feat_extract_norm='layer'`` — the
+    LV-60 "vox" architecture; for 'default'-mode dicts the layer-0
+    GroupNorm maps to HF's ``feat_extract_norm='group'`` layout).
+
+    Values pass through unchanged: torch and HF share (out, in) Linear and
+    (out, in, k) Conv orientation.  ``encoder.pos_conv_embed`` keys are NOT
+    produced — the reference's patched encoder replaces fairseq's
+    positional conv with RoPE / sinusoidal positions
+    (patch_speech_encoder.py:448-494), so callers comparing against HF
+    must zero HF's pos_conv and inject positions explicitly.
+
+    This exists so the SAME synthetic fairseq checkpoint can be loaded
+    into HF's independent wav2vec2 implementation and forward-compared
+    against :func:`convert_w2v2` + ``models.wav2vec2``
+    (tests/test_hf_w2v2_parity.py).
+    """
+    sd = strip_ctc_prefix(sd)
+    out: Arrays = {}
+    for i in range(n_conv):
+        fb = f"feature_extractor.conv_layers.{i}"
+        out[f"{fb}.conv.weight"] = sd[f"{fb}.0.weight"]
+        if f"{fb}.0.bias" in sd:
+            out[f"{fb}.conv.bias"] = sd[f"{fb}.0.bias"]
+        if f"{fb}.2.1.weight" in sd:  # 'layer_norm' extractor mode
+            out[f"{fb}.layer_norm.weight"] = sd[f"{fb}.2.1.weight"]
+            out[f"{fb}.layer_norm.bias"] = sd[f"{fb}.2.1.bias"]
+        elif f"{fb}.2.weight" in sd:  # 'default' mode: layer-0 GroupNorm
+            out[f"{fb}.layer_norm.weight"] = sd[f"{fb}.2.weight"]
+            out[f"{fb}.layer_norm.bias"] = sd[f"{fb}.2.bias"]
+    out["feature_projection.layer_norm.weight"] = sd["layer_norm.weight"]
+    out["feature_projection.layer_norm.bias"] = sd["layer_norm.bias"]
+    out["feature_projection.projection.weight"] = sd[
+        "post_extract_proj.weight"]
+    out["feature_projection.projection.bias"] = sd["post_extract_proj.bias"]
+    pairs = (
+        ("self_attn.q_proj", "attention.q_proj"),
+        ("self_attn.k_proj", "attention.k_proj"),
+        ("self_attn.v_proj", "attention.v_proj"),
+        ("self_attn.out_proj", "attention.out_proj"),
+        ("self_attn_layer_norm", "layer_norm"),
+        ("fc1", "feed_forward.intermediate_dense"),
+        ("fc2", "feed_forward.output_dense"),
+        ("final_layer_norm", "final_layer_norm"),
+    )
+    for i in range(n_layers):
+        for fs_name, hf_name in pairs:
+            for suf in ("weight", "bias"):
+                out[f"encoder.layers.{i}.{hf_name}.{suf}"] = sd[
+                    f"encoder.layers.{i}.{fs_name}.{suf}"]
+    if "encoder.layer_norm.weight" in sd:  # layer_norm_first final LN
+        out["encoder.layer_norm.weight"] = sd["encoder.layer_norm.weight"]
+        out["encoder.layer_norm.bias"] = sd["encoder.layer_norm.bias"]
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -63,7 +63,13 @@ class W2V2Config:
     """
 
     conv_layers: Tuple[ConvLayerConfig, ...] = W2V2_CONV_LAYERS
-    conv_bias: bool = False
+    # The released LV-60 "vox" checkpoints (incl. wav2vec_vox_960h_pl.pt,
+    # the encoder the reference loads — model/speech_encoder.py:147-172)
+    # are trained with conv biases: fairseq wav2vec2_large_librivox.yaml
+    # sets conv_bias=true (HF mirror facebook/wav2vec2-large-lv60 agrees).
+    # fairseq builds the model from the checkpoint's own cfg, so the
+    # biases are live at inference; dropping them is a numerics bug.
+    conv_bias: bool = True
     # 'layer_norm' = per-conv-layer LayerNorm (vox / large models).
     extractor_mode: str = "layer_norm"
     encoder_embed_dim: int = 1024

@@ -130,6 +130,34 @@ def offline_forward(
     """Training / offline forward: full-utterance encoder with the training
     block mask, speech spliced at patch positions (which may be ragged per
     batch row), causal LLM forward.  Returns logits (B, S, V)."""
+    emb = offline_spliced_embeddings(
+        params, cfg, samples, ids, patch_mask, block_frames,
+        max_cache_frames, frame_lengths, remat=remat,
+        dropout_rng=dropout_rng, dropout_rate=dropout_rate,
+    )
+    return llama_mod.offline_forward(
+        params["llama"], cfg.llama, emb, attention_mask, remat=remat
+    )
+
+
+def offline_spliced_embeddings(
+    params: Params,
+    cfg: ModelConfig,
+    samples: jnp.ndarray,
+    ids: jnp.ndarray,
+    patch_mask: jnp.ndarray,
+    block_frames: int,
+    max_cache_frames: int,
+    frame_lengths: Optional[jnp.ndarray] = None,
+    remat: bool = False,
+    dropout_rng=None,
+    dropout_rate: float = 0.1,
+) -> jnp.ndarray:
+    """The embedding stage of :func:`offline_forward`: encoder frames ->
+    adapter -> splice into token embeddings at patch positions.  Exposed
+    so tools can run LLM-side teacher passes over the REAL spliced
+    context (e.g. draft-adapter distillation on the agent's serving
+    distribution — train/draft.collect_targets_x)."""
     frames = w2v2_mod.forward(
         params["w2v2"], cfg.w2v2, samples, block_frames, max_cache_frames,
         frame_lengths, remat=remat, dropout_rng=dropout_rng,
@@ -139,7 +167,6 @@ def offline_forward(
     emb = llama_mod.embed(params["llama"], ids)
     # scatter speech tokens into patch positions row-by-row: position of the
     # j-th patch in row b receives speech[b, j].
-    B, S = ids.shape
     P = speech.shape[1]
     # rank of each position among patches in its row
     patch_rank = jnp.cumsum(patch_mask.astype(jnp.int32), axis=1) - 1
@@ -147,7 +174,6 @@ def offline_forward(
     speech_at_pos = jnp.take_along_axis(
         speech, gather_idx[:, :, None], axis=1
     )
-    emb = jnp.where(patch_mask[:, :, None], speech_at_pos.astype(emb.dtype), emb)
-    return llama_mod.offline_forward(
-        params["llama"], cfg.llama, emb, attention_mask, remat=remat
+    return jnp.where(
+        patch_mask[:, :, None], speech_at_pos.astype(emb.dtype), emb
     )

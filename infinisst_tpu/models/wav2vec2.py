@@ -102,6 +102,8 @@ def conv_extractor(params: Params, cfg: W2V2Config, x: jnp.ndarray) -> jnp.ndarr
             padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"),
         )
+        if "b" in p:  # vox/LV-60 checkpoints: conv_bias=True
+            h = h + p["b"].astype(h.dtype)[None, :, None]
         if cfg.extractor_mode == "layer_norm":
             h = jnp.transpose(h, (0, 2, 1))  # (B, T', C)
             h = _layer_norm(h, p["ln_scale"], p["ln_bias"])
@@ -427,6 +429,8 @@ def init_params(
             jax.random.fold_in(ks[0], i), (lc.kernel, in_d, lc.dim), dtype
         ) * math.sqrt(2.0 / (lc.kernel * in_d))
         entry = {"w": w}
+        if cfg.conv_bias:
+            entry["b"] = jnp.zeros((lc.dim,), dtype)
         if cfg.extractor_mode == "layer_norm":
             entry["ln_scale"] = jnp.ones((lc.dim,), dtype)
             entry["ln_bias"] = jnp.zeros((lc.dim,), dtype)

@@ -73,15 +73,21 @@ def llama_param_specs(zero: bool = False) -> Dict[str, Any]:
     }
 
 
-def w2v2_param_specs(n_conv: int, zero: bool = False) -> Dict[str, Any]:
-    conv = [
-        {
-            "w": _spec(None, 3, zero, 2),
-            "ln_scale": P(None),
-            "ln_bias": P(None),
-        }
-        for _ in range(n_conv)
-    ]
+def w2v2_param_specs(w2v2_cfg, zero: bool = False) -> Dict[str, Any]:
+    """Spec tree structurally matching models.wav2vec2.init_params for
+    ``w2v2_cfg`` (conv bias / extractor-mode variants included)."""
+    conv = []
+    for i, _ in enumerate(w2v2_cfg.conv_layers):
+        entry = {"w": _spec(None, 3, zero, 2)}
+        if w2v2_cfg.conv_bias:
+            entry["b"] = P(None)
+        if w2v2_cfg.extractor_mode == "layer_norm":
+            entry["ln_scale"] = P(None)
+            entry["ln_bias"] = P(None)
+        elif i == 0:  # 'default': GroupNorm on layer 0 only
+            entry["gn_scale"] = P(None)
+            entry["gn_bias"] = P(None)
+        conv.append(entry)
     return {
         "conv": conv,
         "post_ln": {"scale": P(None), "bias": P(None)},
@@ -125,7 +131,7 @@ def adapter_param_specs(n_conv: int, zero: bool = False) -> Dict[str, Any]:
 def model_param_specs(cfg, zero: bool = False) -> Dict[str, Any]:
     """Spec tree for the combined speech-LLM params."""
     return {
-        "w2v2": w2v2_param_specs(len(cfg.w2v2.conv_layers), zero),
+        "w2v2": w2v2_param_specs(cfg.w2v2, zero),
         "adapter": adapter_param_specs(len(cfg.adapter.conv_layers), zero),
         "llama": llama_param_specs(zero),
     }

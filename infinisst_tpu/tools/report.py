@@ -35,8 +35,27 @@ def collect(d: str):
     for path in sorted(glob.glob(os.path.join(d, "BENCH_r*.json"))):
         with open(path) as f:
             rec = json.load(f)
+        # driver artifacts nest the bench's JSON line under "parsed"
+        if isinstance(rec.get("parsed"), dict):
+            rec = dict(rec["parsed"], **{
+                k: v for k, v in rec.items() if k not in ("parsed", "tail")
+            })
         rec["round"] = os.path.basename(path)
         rows.append(rec)
+    for path in sorted(
+        glob.glob(os.path.join(d, "docs", "hw_rows_r*.jsonl"))
+    ):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                tag = rec.get("_queue_name") or " ".join(
+                    rec.get("_argv", [])
+                ) or "?"
+                rec["round"] = "{}:{}".format(os.path.basename(path), tag)
+                rows.append(rec)
     for path in sorted(glob.glob(os.path.join(d, "**", "scores.json"),
                                  recursive=True)):
         with open(path) as f:

@@ -99,6 +99,18 @@ def collect_targets(
     logits (B, S, V)), both stop-gradiented.  The first d layers are
     computed once and continued to depth L, not recomputed."""
     x = llama_mod.embed(params, ids)
+    return collect_targets_x(params, cfg, x, d, attention_mask)
+
+
+def collect_targets_x(
+    params, cfg: LlamaConfig, x: jnp.ndarray, d: int,
+    attention_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """collect_targets over precomputed input EMBEDDINGS (B, S, D) —
+    e.g. speech-spliced sequences from the speech-LLM
+    (speech_llm.offline_spliced_embeddings), so the adapter can be
+    distilled on the streaming agent's actual serving context (speech
+    patches + self-decoded text) rather than text-only prefixes."""
     h_d = llama_mod.offline_hidden(
         params, cfg, x, attention_mask, num_layers=d
     )
@@ -240,6 +252,49 @@ def distill(
             while len(cache) > max(1, max_cached_batches):
                 cache.popitem(last=False)
         h_d, teacher, mask = cache[bid]
+        adapter, opt_state, loss, agree = step_fn(
+            adapter, opt_state, h_d, teacher, mask
+        )
+        if log_every and (i % log_every == 0 or i == steps - 1):
+            history.append((i, float(loss), float(agree)))
+    return adapter, history
+
+
+def distill_on_features(
+    params,
+    cfg: LlamaConfig,
+    feats,  # list of (h_d (B,S,D), teacher (B,S,V), mask (B,S)) triples
+    *,
+    steps: int,
+    lr: float = 1e-3,
+    rank: Optional[int] = None,
+    key: Optional[jax.Array] = None,
+    log_every: int = 0,
+) -> Tuple[Adapter, list]:
+    """:func:`distill` over PRECOLLECTED teacher features — the entry
+    point for serving-context distillation: collect (h_d, teacher) with
+    :func:`collect_targets_x` over speech-SPLICED embeddings (the
+    streaming agent's real context: speech patches + self-decoded text,
+    speech_llm.offline_spliced_embeddings) with ``mask`` restricted to
+    the decode positions the draft is actually queried at, then fit the
+    adapter here.  The draft depth is baked into ``h_d`` by the collect
+    pass.  Returns (adapter, history) like :func:`distill`."""
+    key = jax.random.PRNGKey(0) if key is None else key
+    adapter = init_exit_adapter(key, cfg, rank, jnp.float32)
+    opt = optax.adam(lr)
+    opt_state = opt.init(adapter)
+
+    @jax.jit
+    def step_fn(adapter, opt_state, h_d, teacher, mask):
+        (loss, agree), grads = jax.value_and_grad(
+            _loss, has_aux=True
+        )(adapter, params, cfg, h_d, teacher, mask)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(adapter, updates), opt_state, loss, agree
+
+    history = []
+    for i in range(steps):
+        h_d, teacher, mask = feats[i % len(feats)]
         adapter, opt_state, loss, agree = step_fn(
             adapter, opt_state, h_d, teacher, mask
         )

@@ -104,6 +104,10 @@ class MetricsLogger:
 
     def log(self, metrics: Dict, step: int):
         rec = {"step": step, "time": time.time(), **metrics}
+        # tolerate the run dir vanishing mid-fit (e.g. a concurrent tool
+        # sharing the workdir rmtree'd it): losing a metrics line beats
+        # aborting an hours-long training run
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
         if self.wandb is not None:  # pragma: no cover

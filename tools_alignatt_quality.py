@@ -171,7 +171,7 @@ def train(workdir, cfg, builder, steps, lr):
         grad_acc_steps=1,
         clip_norm=1.0,
         log_step=20,
-        eval_step=0,
+        eval_step=200,
         save_step=0,
         save_dir=run_dir,
         block_size=10**6,
@@ -180,13 +180,14 @@ def train(workdir, cfg, builder, steps, lr):
     )
     t = Trainer(args, cfg, builder, init_params(cfg))
     t.fit()
-    metrics = [
-        json.loads(l)
-        for l in open(os.path.join(run_dir, "metrics.jsonl"))
-        if "train_loss" in l
+    rows = [json.loads(l) for l in open(os.path.join(run_dir, "metrics.jsonl"))]
+    losses = [m["train_loss"] for m in rows if "train_loss" in m]
+    eval_curve = [
+        {"step": m.get("step"), "eval_loss": round(m["eval_loss"], 4)}
+        for m in rows
+        if "eval_loss" in m
     ]
-    losses = [m["train_loss"] for m in metrics]
-    return jax.device_get(t.state.params), losses
+    return jax.device_get(t.state.params), losses, eval_curve
 
 
 def stream(agent, wav, n_units):
@@ -340,13 +341,13 @@ def main(argv=None):
     if args.load_params:
         with open(args.load_params, "rb") as f:
             trained = pickle.load(f)
-        losses = [float("nan"), float("nan")]
+        losses, eval_curve = [float("nan"), float("nan")], []
         print(f"loaded params from {args.load_params}", flush=True)
     else:
         print(f"training {args.steps} steps on {args.train_utts} utts ...",
               flush=True)
-        trained, losses = train(args.workdir, cfg, builder, args.steps,
-                                args.lr)
+        trained, losses, eval_curve = train(args.workdir, cfg, builder,
+                                            args.steps, args.lr)
         print(f"loss {losses[0]:.3f} -> {losses[-1]:.3f}", flush=True)
         if args.save_params:
             with open(args.save_params, "wb") as f:
@@ -361,6 +362,11 @@ def main(argv=None):
                 "steps": args.steps,
                 "loss_first": round(losses[0], 4),
                 "loss_final": round(losses[-1], 4),
+                # subsampled train-loss curve + held-out eval-loss curve:
+                # the "did it learn" evidence, not just endpoints
+                "loss_curve": [round(x, 4) for x in losses[:: max(
+                    1, len(losses) // 40)]],
+                "eval_loss_curve": eval_curve,
             }
         ),
         "beam": args.beam,

@@ -103,10 +103,17 @@ def abstract_batch(cfg, rows_per_dp: int, data_ax: int, audio_s: float,
 def plan_mesh(cfg, data_ax: int, model_ax: int, *, dtype=None,
               rows_per_dp: int = 2, audio_s: float = 20.0,
               seq_len: int = 384, multiplier: int = 4,
-              block_frames: int = 48, max_cache_frames: int = 576):
-    """AOT-compile the stage-2 train step on a (data_ax x model_ax) mesh
-    and return the memory analysis + the compiled input shardings of the
-    largest parameter leaves (to pin no-fallback-to-replicated)."""
+              block_frames: int = 48, max_cache_frames: int = 576,
+              stage: int = 2):
+    """AOT-compile the stage-``stage`` train step on a (data_ax x model_ax)
+    mesh and return the memory analysis + the compiled input shardings of
+    the largest parameter leaves (to pin no-fallback-to-replicated).
+
+    stage 2 = frozen w2v2 (adapter + LLM trained, the release recipe);
+    stage 1 = frozen LLM incl. embed/head (adapter + w2v2 trained,
+    ref: train/main.py:60-76 llm_freeze) — much lighter optimizer state
+    (no Adam moments for the 8B decoder), so it fits meshes stage 2
+    cannot."""
     import jax
     import jax.numpy as jnp
 
@@ -130,7 +137,8 @@ def plan_mesh(cfg, data_ax: int, model_ax: int, *, dtype=None,
         shardings,
     )
 
-    freeze = tstep.FreezeConfig.stage2()
+    freeze = (tstep.FreezeConfig.stage1() if stage == 1
+              else tstep.FreezeConfig.stage2())
     tx = tstep.make_optimizer(
         tstep.OptimConfig(total_steps=100_000, warmup_steps=1000),
         params, freeze,
@@ -198,6 +206,7 @@ def plan_mesh(cfg, data_ax: int, model_ax: int, *, dtype=None,
         "llama.layers.wq": leaf_spec(("llama", "layers", "wq")),
     }
     return {
+        "stage": stage,
         "mesh": f"dp{data_ax}xtp{model_ax}",
         "zero": zero,
         "global_batch_rows": rows_per_dp * data_ax,
@@ -214,6 +223,96 @@ def plan_mesh(cfg, data_ax: int, model_ax: int, *, dtype=None,
         "fits_v5e_16gib": peak_b < 16 * 2**30,
         "compile_s": round(compile_s, 1),
         "heavy_leaf_specs": {k: str(v) for k, v in heavy.items()},
+    }
+
+
+def plan_serve_pool(cfg, pool_size: int, *, beam: int = 4):
+    """Single-chip HBM plan for the 8B-int8 serving pool (the flagship
+    serving config: ServingEngine, W8A8 projections + int8 head, beam-4).
+
+    The engine is constructed for real on the CPU backend (its state
+    buffers — encoder ring, decoder cache, windows — are the pool-scaled
+    allocations being planned), but the PARAMETERS stay abstract
+    (eval_shape over the real init fns) and the fused tick step is
+    AOT-lowered from ShapeDtypeStructs, so no 8B weight array is ever
+    materialised.  peak = args + temps + (outputs - donated aliases):
+    enc/dec/windows are donated (argnums 1-3), params are not.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from infinisst_tpu.core.config import StreamConfig
+    from infinisst_tpu.data.template import PromptBuilder, StubTokenizer
+    from infinisst_tpu.models import adapter as A
+    from infinisst_tpu.models import wav2vec2 as W
+    from infinisst_tpu.models.quant import init_quantized_llama
+    from infinisst_tpu.serve.engine import ServingEngine
+
+    dtype = jnp.bfloat16
+    k = jax.random.PRNGKey(0)
+    params = jax.eval_shape(
+        lambda: {
+            "w2v2": W.init_params(jax.random.fold_in(k, 0), cfg.w2v2, dtype),
+            "adapter": A.init_params(
+                jax.random.fold_in(k, 1), cfg.adapter, dtype
+            ),
+            "llama": init_quantized_llama(
+                jax.random.fold_in(k, 2), cfg.llama,
+                act_int8=True, lm_head_int8=True,
+            ),
+        }
+    )
+    tok = StubTokenizer(cfg.llama.vocab_size)
+    builders = {("English", "German"): PromptBuilder(tok, cfg.tokens)}
+    stream = StreamConfig()
+    eng = ServingEngine(
+        params, cfg, stream, builders, pool_size=pool_size, dtype=dtype,
+        beam=beam,
+    )
+    B = pool_size
+
+    def aval(x):
+        return jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)),
+            x,
+        )
+
+    def sds(shape, dt):
+        return jax.ShapeDtypeStruct(shape, dt)
+
+    call_avals = (
+        params, aval(eng.enc_state), aval(eng.dec_state), aval(eng.windows),
+        sds((B, eng.chunk_samples), jnp.int16),
+        sds((B, eng._S), jnp.int32), sds((B, eng._S), jnp.int32),
+        sds((B,), jnp.int32), sds((B,), jnp.bool_),
+        sds((B, stream.no_repeat_ngram_lookback), jnp.int32),
+        sds((B,), jnp.int32), sds((B,), jnp.int32), sds((B,), jnp.int32),
+        sds((B,), jnp.int32),
+    )
+    t0 = time.time()
+    compiled = eng._step_fn.lower(*call_avals).compile()
+    compile_s = time.time() - t0
+    ma = compiled.memory_analysis()
+    args_b = int(ma.argument_size_in_bytes)
+    out_b = int(ma.output_size_in_bytes)
+    temp_b = int(ma.temp_size_in_bytes)
+    alias_b = int(ma.alias_size_in_bytes)
+    peak_b = args_b + temp_b + max(out_b - alias_b, 0)
+    return {
+        "recipe": f"serve pool={pool_size} beam={beam} 8B-int8 (W8A8 + "
+                  "int8 head), bf16 caches",
+        "pool_size": pool_size,
+        "beam": beam,
+        "llm_cache_capacity": stream.llm_cache_capacity,
+        "max_cache_frames": stream.max_cache_frames,
+        "argument_bytes": args_b,
+        "output_bytes": out_b,
+        "temp_bytes": temp_b,
+        "donated_alias_bytes": alias_b,
+        "peak_hbm_bytes": peak_b,
+        "peak_hbm_gib": round(peak_b / 2**30, 3),
+        "fits_v5e_16gib": peak_b < 16 * 2**30,
+        "compile_s": round(compile_s, 1),
     }
 
 
@@ -241,6 +340,29 @@ def main():
     rec = max(
         fitting, key=lambda r: int(r["mesh"][2 : r["mesh"].index("x")])
     ) if fitting else None
+
+    # stage 1 (frozen LLM): no Adam moments for the decoder, so start from
+    # the most data-parallel mesh and stop at the first fit
+    stage1_rows = []
+    for d, m in meshes:
+        print(f"[memplan] compiling stage-1 step on dp{d}xtp{m} ...",
+              flush=True)
+        row = plan_mesh(cfg, d, m, stage=1)
+        print(json.dumps(row), flush=True)
+        stage1_rows.append(row)
+        if row["fits_v5e_16gib"]:
+            break
+    s1_fit = [r for r in stage1_rows if r["fits_v5e_16gib"]]
+
+    serve_rows = []
+    if "--no-serve" not in sys.argv:
+        for pool in (8, 16):
+            print(f"[memplan] compiling serve tick, pool={pool} ...",
+                  flush=True)
+            srow = plan_serve_pool(cfg, pool)
+            print(json.dumps(srow), flush=True)
+            serve_rows.append(srow)
+
     out = {
         "model": "flagship-8b" if "--quick" not in sys.argv else "dryrun",
         "recipe": "stage2: frozen w2v2, bf16 params, remat, ZeRO opt state",
@@ -248,6 +370,17 @@ def main():
         "meshes": rows,
         "recommendation": rec["mesh"] if rec else
         "NONE FIT — revisit shardings",
+        "stage1_meshes": stage1_rows,
+        "stage1_recommendation": s1_fit[0]["mesh"] if s1_fit else
+        "NONE FIT — revisit shardings",
+        "serve_pools": serve_rows,
+        "caveat": (
+            "compiled memory_analysis() on the virtual mesh: accounts "
+            "arguments/temps/outputs/donated aliases but NOT allocator "
+            "fragmentation or runtime scratch; margins under ~2 GiB "
+            "should be treated as conditional until executed on real "
+            "multi-chip hardware"
+        ),
     }
     path = "docs/memplan_8b.json"
     if "--quick" not in sys.argv:
