@@ -694,15 +694,32 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
     slots = [eng.open_stream(f"c{i}") for i in range(pool)]
     chunk = eng.chunk_samples
 
+    # --churn: soak-mode client lifecycle churn — mid-run, two slots are
+    # close_stream'd and immediately reopened as NEW clients (fresh
+    # prompt, empty cache) while the other slots keep streaming; with a
+    # long-enough soak the surviving slots also cross the per-slot
+    # eviction threshold, so one row exercises trim + churn + steady
+    # tails together (VERDICT r4 #4).
+    churn = "--churn" in sys.argv
+
     # warm up one tick
     for s_ in slots:
         eng.push_audio(s_, rng.randn(chunk).astype(np.float32) * 0.1)
     eng.tick()
 
-    n_tok0 = sum(len(eng.slots[s_].target_ids) for s_ in slots)
+    base = {s_: len(eng.slots[s_].target_ids) for s_ in slots}
+    tok_closed = 0
+    churn_tick = n_chunks // 2 if churn else None
     slot_lat = []  # per-slot per-chunk latency (tail artifact)
     t0 = time.perf_counter()
     for i in range(n_chunks):
+        if churn_tick is not None and i == churn_tick:
+            for s_ in slots[:2]:
+                tok_closed += len(eng.slots[s_].target_ids) - base[s_]
+                eng.close_stream(s_)
+                ns = eng.open_stream(f"c{s_}_reopened")
+                assert ns == s_, (ns, s_)
+                base[s_] = 0
         for s_ in slots:
             eng.push_audio(s_, rng.randn(chunk).astype(np.float32) * 0.1)
         pre = [eng.slots[s_].cache_len for s_ in slots]
@@ -714,7 +731,9 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
                 slot_lat.append(dt)
     jax.block_until_ready(eng.dec_state.k)
     wall = time.perf_counter() - t0
-    n_tok = sum(len(eng.slots[s_].target_ids) for s_ in slots) - n_tok0
+    n_tok = tok_closed + sum(
+        len(eng.slots[s_].target_ids) - base[s_] for s_ in slots
+    )
     audio_s = n_chunks * chunk / 16000.0  # per stream
     dmode = (
         f"spec{'S' if do_sample else ''}"
@@ -724,11 +743,22 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
         if speculative else f"beam{beam}"
     )
     result = {
-        "metric": f"serve_decode_tok_per_s_pool{pool}_{dmode}_m{multiplier}_{tag}",
+        "metric": f"serve_decode_tok_per_s_pool{pool}_{dmode}_m{multiplier}"
+                  f"{'_churn' if churn else ''}_{tag}",
         "value": round(n_tok / wall, 2),
         "unit": "tok/s/chip",
         "vs_baseline": round((n_tok / wall) / 30.0, 3),  # target >=30 tok/s/chip
     }
+    if churn:
+        result["churn_tick"] = churn_tick
+        result["evictions"] = eng.evictions
+        half = len(slot_lat) // 2
+        result["slot_chunk_p99_ms_first_half"] = round(
+            float(np.percentile(np.asarray(slot_lat[:half]) * 1e3, 99)), 1
+        )
+        result["slot_chunk_p99_ms_second_half"] = round(
+            float(np.percentile(np.asarray(slot_lat[half:]) * 1e3, 99)), 1
+        )
     if speculative:
         st = eng.spec_stats
         result["accept_rate"] = round(

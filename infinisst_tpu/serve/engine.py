@@ -286,6 +286,8 @@ class ServingEngine:
             ll.num_kv_heads, ll.head_dim, dtype,
         )
         self.slots = [StreamSlot() for _ in range(pool_size)]
+        # cumulative count of per-slot cache trims (soak observability)
+        self.evictions = 0
 
         # prompt layouts are identical across languages except for the
         # system text; patch offsets depend only on (first, m)
@@ -889,6 +891,7 @@ class ServingEngine:
             s.cache_len = new_len + sys_len
             self.valid_len_host[i] = s.cache_len
             any_evict = True
+            self.evictions += 1
         if not any_evict:
             return
         # evict_cache keeps [0:sys] + tail(keep); untouched rows pass

@@ -53,8 +53,9 @@ def collect(d: str):
                 rec = json.loads(line)
                 tag = rec.get("_queue_name") or " ".join(
                     rec.get("_argv", [])
-                ) or "?"
-                rec["round"] = "{}:{}".format(os.path.basename(path), tag)
+                )
+                base = os.path.basename(path)
+                rec["round"] = f"{base}:{tag}" if tag else base
                 rows.append(rec)
     for path in sorted(glob.glob(os.path.join(d, "**", "scores.json"),
                                  recursive=True)):

@@ -374,6 +374,16 @@ def main():
         "stage1_recommendation": s1_fit[0]["mesh"] if s1_fit else
         "NONE FIT — revisit shardings",
         "serve_pools": serve_rows,
+        "serve_caveat": (
+            "serve rows are compiled on the CPU backend, whose int8 "
+            "lowering MATERIALISES dequantised bf16 weight temps that "
+            "the TPU backend fuses into the matmuls (temp_bytes ~10/16 "
+            "GB at pool 8/16 tracks ~2 bytes/param) — these peaks are "
+            "upper bounds, and the dev TPU chip has executed the "
+            "pool-8/16 ticks (hw_rows_r4: 201/223 tok/s/chip).  Treat "
+            "fits_v5e_16gib=false on serve rows as 'not proven to fit', "
+            "not 'proven not to fit'."
+        ),
         "caveat": (
             "compiled memory_analysis() on the virtual mesh: accounts "
             "arguments/temps/outputs/donated aliases but NOT allocator "
