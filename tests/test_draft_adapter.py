@@ -221,3 +221,92 @@ def test_rollout_distill_lifts_production_acceptance():
         with_rounds += rw
     assert with_acc >= 2 * max(base_acc, 1), (base_acc, with_acc)
     assert with_rounds < base_rounds, (base_rounds, with_rounds)
+
+
+def test_collect_targets_x_matches_ids_path():
+    """collect_targets_x over embed(ids) is EXACTLY collect_targets(ids)
+    — the serving-context entry point (speech-spliced embeddings,
+    tools_spec_trained_teacher.py) shares the ids path's numerics."""
+    params = L.init_params(jax.random.PRNGKey(3), CFG, jnp.float32)
+    ids = jnp.asarray(
+        np.random.RandomState(1).randint(0, CFG.vocab_size, (2, 12)),
+        jnp.int32,
+    )
+    mask = jnp.ones((2, 12), jnp.float32).at[1, 9:].set(0.0)
+    h_a, t_a = DR.collect_targets(params, CFG, ids, 1, mask)
+    h_b, t_b = DR.collect_targets_x(
+        params, CFG, L.embed(params, ids), 1, mask
+    )
+    np.testing.assert_array_equal(np.asarray(h_a), np.asarray(h_b))
+    np.testing.assert_array_equal(np.asarray(t_a), np.asarray(t_b))
+
+
+def test_distill_on_features_matches_distill():
+    """distill_on_features over precollected (h_d, teacher, mask)
+    reproduces distill() exactly on the same single-batch problem (same
+    init key, same Adam trajectory) — the feature-path refactor changes
+    where the teacher pass runs, not the optimization."""
+    params = L.init_params(jax.random.PRNGKey(4), CFG, jnp.float32)
+    ids = jnp.asarray(
+        np.random.RandomState(2).randint(1, CFG.vocab_size, (2, 16)),
+        jnp.int32,
+    )
+    key = jax.random.PRNGKey(9)
+    a1, h1 = DR.distill(
+        params, CFG, 1, [ids], steps=40, lr=1e-2, key=key, pad_id=0,
+        log_every=20,
+    )
+    mask = (ids != 0).astype(jnp.float32)
+    feats = [(*DR.collect_targets(params, CFG, ids, 1, mask), mask)]
+    a2, h2 = DR.distill_on_features(
+        params, CFG, feats, steps=40, lr=1e-2, key=key, log_every=20,
+    )
+    jax.tree.map(
+        lambda x, y: np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=1e-6
+        ),
+        a1, a2,
+    )
+    assert [round(a, 4) for _, _, a in h1] == [
+        round(a, 4) for _, _, a in h2
+    ]
+
+
+def test_offline_spliced_embeddings_semantics():
+    """Patch positions carry the adapter's speech embeddings in row-order;
+    non-patch positions carry the token embeddings."""
+    from infinisst_tpu.core.presets import dryrun_config
+    from infinisst_tpu.models import adapter as AD
+    from infinisst_tpu.models import speech_llm as SL
+    from infinisst_tpu.models import wav2vec2 as W
+
+    cfg = dryrun_config()
+    k = jax.random.PRNGKey(0)
+    params = {
+        "w2v2": W.init_params(jax.random.fold_in(k, 0), cfg.w2v2),
+        "adapter": AD.init_params(jax.random.fold_in(k, 1), cfg.adapter),
+        "llama": L.init_params(jax.random.fold_in(k, 2), cfg.llama),
+    }
+    B, S = 1, 10
+    samples = jnp.asarray(
+        np.random.RandomState(0).randn(B, 2 * 15360).astype(np.float32)
+        * 0.1
+    )
+    ids = jnp.full((B, S), 5, jnp.int32)
+    patch_mask = jnp.zeros((B, S), bool).at[:, 3:7].set(True)
+    emb = SL.offline_spliced_embeddings(
+        params, cfg, samples, ids, patch_mask, 48, 96,
+        dropout_rate=0.0,
+    )
+    frames = W.forward(params["w2v2"], cfg.w2v2, samples, 48, 96)
+    speech = AD.forward(params["adapter"], cfg.adapter, frames)
+    tok = L.embed(params["llama"], ids)
+    np.testing.assert_allclose(
+        np.asarray(emb[:, 3:7]), np.asarray(speech[:, :4]), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(emb[:, :3]), np.asarray(tok[:, :3])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(emb[:, 7:]), np.asarray(tok[:, 7:])
+    )
