@@ -83,6 +83,13 @@ def render(rows) -> str:
                 if k in r:
                     out.append(f"| {r['round']} | {k} | {r[k]:.3f} | | |")
     out.append("")
+    out.append(
+        "vs-baseline semantics per metric family: rtf rows = reference_rtf"
+        " / ours (speedup, reference 8B on L40S); serve tok/s rows = ours /"
+        " 30 tok/s (the serving target); train speech-s/s rows = x realtime"
+        " per chip (ours / 1.0)."
+    )
+    out.append("")
     out.append("## Reference baselines (L40S; BASELINE.md)")
     out.append("")
     out.append("| pair | metric | m=1 | m=2 | m=3 | m=4 |")
