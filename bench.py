@@ -642,15 +642,16 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
         for i in range(base_ticks):
             for s_ in slots:
                 eng.push_audio(s_, rng.randn(unit).astype(np.float32) * 0.1)
-            pre = [eng.slots[s_].cache_len for s_ in slots]
             tt = time.perf_counter()
             eng.tick()
             dt = time.perf_counter() - tt
-            # a slot "fired" if its chunk prefilled this tick (cache grew);
-            # in the mixed pool an m=2 slot fires every other tick, so its
-            # chunk latency is the wall of ITS tick, not the mean cadence
-            for j, s_ in enumerate(slots):
-                if eng.slots[s_].cache_len != pre[j]:
+            # a slot "fired" if its chunk prefilled this tick
+            # (eng.last_ticked — cache_len deltas can't tell once
+            # deferred trims net growth to zero); in the mixed pool an
+            # m=2 slot fires every other tick, so its chunk latency is
+            # the wall of ITS tick, not the mean cadence
+            for s_ in slots:
+                if s_ in eng.last_ticked:
                     slot_lat.append(dt)
         jax.block_until_ready(eng.dec_state.k)
         wall = time.perf_counter() - t0
@@ -722,12 +723,11 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
                 base[s_] = 0
         for s_ in slots:
             eng.push_audio(s_, rng.randn(chunk).astype(np.float32) * 0.1)
-        pre = [eng.slots[s_].cache_len for s_ in slots]
         tt = time.perf_counter()
         eng.tick()
         dt = time.perf_counter() - tt
-        for j, s_ in enumerate(slots):
-            if eng.slots[s_].cache_len != pre[j]:
+        for s_ in slots:
+            if s_ in eng.last_ticked:
                 slot_lat.append(dt)
     jax.block_until_ready(eng.dec_state.k)
     wall = time.perf_counter() - t0

@@ -288,6 +288,15 @@ class ServingEngine:
         self.slots = [StreamSlot() for _ in range(pool_size)]
         # cumulative count of per-slot cache trims (soak observability)
         self.evictions = 0
+        # deferred batched trim: applied as traced operands of the NEXT
+        # tick's compiled step (same design as the agent's in-step
+        # eviction, agents/infinisst.py — a standalone _evict_fn dispatch
+        # per eviction-active tick costs the link's fixed RTT, which in
+        # steady state is EVERY tick)
+        self._pending_evict = None
+        # slots whose chunk prefilled in the most recent tick (telemetry;
+        # cache_len deltas can't tell — a trim can net it to zero)
+        self.last_ticked: tuple = ()
 
         # prompt layouts are identical across languages except for the
         # system text; patch offsets depend only on (first, m)
@@ -351,6 +360,13 @@ class ServingEngine:
         self._reset_slot_state(slot)
 
     def _reset_slot_state(self, i: int):
+        if self._pending_evict is not None:
+            # a trim scheduled for this row is stale once the row is
+            # zeroed; keep=0/sys=0 makes the deferred gather the reset's
+            # identity (valid_len stays 0)
+            pk, ps = self._pending_evict
+            pk[i] = 0
+            ps[i] = 0
         self.windows = self.windows.at[i].set(0.0)
         self.valid_len_host[i] = 0
         z = lambda a: a.at[:, i].set(0)  # noqa: E731
@@ -396,7 +412,12 @@ class ServingEngine:
 
         def step(params, enc, dec, windows, chunks_i16, ids, valid_mask,
                  patch_starts, row_active, hist, hist_len, row_frames,
-                 row_patches, row_max_new, rng=None):
+                 row_patches, row_max_new, ev_keep, ev_sys, rng=None):
+            # apply the PREVIOUS tick's deferred per-slot cache trim as
+            # traced operands (identity rows: keep = current valid_len,
+            # sys = 0) — rides this step's dispatch instead of costing a
+            # standalone round-trip per eviction-active tick
+            dec = llama_mod.evict_cache(dec, ev_keep, ev_sys)
             # roll each device window by ITS OWN chunk size: row i's new
             # samples (row_frames[i]*320, left-aligned in chunks_i16[i])
             # slide in so real audio stays right-aligned; a row with
@@ -690,6 +711,7 @@ class ServingEngine:
             ):
                 ready.append(i)
         if not ready:
+            self.last_ticked = ()
             return {}
 
         B = self.pool
@@ -765,13 +787,23 @@ class ServingEngine:
         step_fn = (
             self._step_fn_fallback if self._spec_fallback else self._step_fn
         )
+        if self._pending_evict is not None:
+            ev_keep, ev_sys = self._pending_evict
+            self._pending_evict = None
+        else:
+            # identity: keep = current device validity, nothing pinned
+            ev_keep = self.valid_len_host.copy()
+            ev_sys = np.zeros_like(ev_keep)
+        self.last_ticked = tuple(i for i, _ in prompts)
         call_args = (
             self.params, self.enc_state, self.dec_state, self.windows,
             jnp.asarray(chunks), jnp.asarray(ids), jnp.asarray(valid),
             jnp.asarray(patch_starts), jnp.asarray(row_active),
             jnp.asarray(hist), jnp.asarray(hist_len),
             jnp.asarray(row_frames), jnp.asarray(row_patches),
-            jnp.asarray(row_max_new), *extra,
+            jnp.asarray(row_max_new),
+            jnp.asarray(ev_keep, jnp.int32), jnp.asarray(ev_sys, jnp.int32),
+            *extra,
         )
         if self._spec_breakeven is not None and self._step_avals is None:
             # tick shapes are constant: capture them once so the guard's
@@ -895,9 +927,28 @@ class ServingEngine:
         if not any_evict:
             return
         # evict_cache keeps [0:sys] + tail(keep); untouched rows pass
-        # sys=0 and keep=valid_len (identity)
+        # sys=0 and keep=valid_len (identity).  DEFERRED: the trim is
+        # applied inside the NEXT tick's compiled step (the host mirrors
+        # above already show the logical post-trim lengths) — a
+        # standalone dispatch here costs the link's fixed RTT on every
+        # eviction-active tick, which in steady state is every tick
+        # (measured: pool-8 8B 120-tick soak 155 -> ~190 tok/s/chip).
+        self._pending_evict = (
+            keep_len.astype(np.int32),
+            sys_lens.astype(np.int32),
+        )
+
+    def flush_pending_evict(self):
+        """Apply a deferred cache trim NOW (one standalone dispatch) so
+        external readers of ``dec_state`` observe the post-trim cache;
+        no-op when nothing is pending.  The tick path never needs this —
+        it exists for tests/inspection, mirroring the agent's API."""
+        if self._pending_evict is None:
+            return
+        ev_keep, ev_sys = self._pending_evict
+        self._pending_evict = None
         self.dec_state = self._evict_fn(
             self.dec_state,
-            jnp.asarray(keep_len, jnp.int32),
-            jnp.asarray(sys_lens, jnp.int32),
+            jnp.asarray(ev_keep, jnp.int32),
+            jnp.asarray(ev_sys, jnp.int32),
         )

@@ -150,7 +150,9 @@ def test_engine_batched_eviction():
             # cap + one chunk's worth of slack (eviction is checkpoint-
             # granular: trims to <= cap AFTER the overflowing tick)
             assert s.cache_len <= stream.max_llm_cache_tokens + s.system_prompt_size
-        # host mirror matches device validity
+        # host mirror matches device validity (the trim is deferred into
+        # the next tick's step; flush applies it for inspection)
+        eng.flush_pending_evict()
         np.testing.assert_array_equal(
             np.asarray(eng.dec_state.valid_len),
             eng.valid_len_host.astype(np.int32),
