@@ -683,6 +683,7 @@ def bench_serve(multiplier: int, n_chunks: int, pool: int = 8,
             result["fallback_warmed"] = isinstance(
                 eng._step_fn_fallback, jax.stages.Compiled
             )
+        result["evictions"] = eng.evictions
         result.update(_tail_fields(slot_lat))
         print(json.dumps(result))
         print(
